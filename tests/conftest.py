@@ -1,0 +1,43 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Must run before any jax import (SURVEY.md §4: exercise pjit sharding without
+TPUs via xla_force_host_platform_device_count).
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def synthetic_tracks():
+    from tsue_tpu.data.schema import make_synthetic_tracks
+    return make_synthetic_tracks(num_tracks=12, track_len=400, seed=0)
+
+
+@pytest.fixture(scope="session")
+def small_data_cfg():
+    from tsue_tpu.config import DataConfig
+    # max_length must exceed the ~430-byte prompt under the byte tokenizer
+    # so the answer span gets real (non -100) labels
+    return DataConfig(seq_len=6, out_len=6, stride=6, max_length=640)
+
+
+@pytest.fixture(scope="session")
+def tokenizer():
+    from tsue_tpu.data.tokenizer import ByteTokenizer
+    return ByteTokenizer()
+
+
+@pytest.fixture(scope="session")
+def small_windows(synthetic_tracks, small_data_cfg, tokenizer):
+    from tsue_tpu.data.windowing import build_windows
+    ds = build_windows(synthetic_tracks, small_data_cfg, tokenizer)
+    assert len(ds) > 0
+    return ds

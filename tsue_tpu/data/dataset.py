@@ -1,0 +1,89 @@
+"""Sharded batch iteration over fixed-shape arrays.
+
+Replaces the reference's ``DataLoader`` + ``DistributedSampler``
+(ref scripts/train.py:1092-1098): because the dataset is a struct of
+fixed-shape NumPy arrays, "loading" is pure indexing — a seeded global
+permutation, sliced per process, gathered into contiguous device batches.
+The same iterator works on 1 chip or a pod: each process yields its
+per-process shard of every global batch, and ``jax.make_array_from_process_local_data``
+(or simple device_put under a single process) produces the globally sharded
+batch.
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from tsue_tpu.data.windowing import WindowedDataset
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+class BatchIterator:
+    """Epoch iterator with DistributedSampler semantics.
+
+    - seeded per-epoch shuffle (ref ``set_epoch``, scripts/train.py:1153);
+    - every process sees the same permutation and takes its strided slice;
+    - the tail is padded by wrapping around (like DistributedSampler's
+      sample-repetition) so every batch has the full static batch size; a
+      ``valid`` mask flags the padding so metrics can ignore it.
+    """
+
+    def __init__(self, dataset: WindowedDataset, batch_size: int,
+                 shuffle: bool = True, seed: int = 42,
+                 process_index: int = 0, process_count: int = 1,
+                 drop_remainder: bool = False):
+        if batch_size % process_count != 0:
+            raise ValueError(
+                f"process_count={process_count} must divide global "
+                f"batch_size={batch_size}")
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.per_process = batch_size // process_count
+        self.shuffle = shuffle
+        self.seed = seed
+        self.process_index = process_index
+        self.process_count = process_count
+        self.drop_remainder = drop_remainder
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(self.ds)
+        if self.drop_remainder:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.ds)
+        if n == 0:
+            return
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            perm = rng.permutation(n)
+        else:
+            perm = np.arange(n)
+        num_batches = len(self)
+        total = num_batches * self.batch_size
+        if total > n:
+            perm = np.concatenate([perm, perm[:total - n]])
+            valid_by_pos = np.ones(total, bool)
+            valid_by_pos[n:] = False
+        else:
+            perm = perm[:total]
+            valid_by_pos = np.ones(total, bool)
+
+        for b in range(num_batches):
+            sl = slice(b * self.batch_size, (b + 1) * self.batch_size)
+            idx = perm[sl]
+            vmask = valid_by_pos[sl]
+            # per-process strided shard (DistributedSampler-style)
+            shard = slice(self.process_index, None, self.process_count)
+            batch = self.ds.slice(idx[shard]).as_batch_dict()
+            batch["valid"] = vmask[shard].astype(np.float32)
+            yield batch
