@@ -1,15 +1,24 @@
 """Test configuration: force an 8-device virtual CPU mesh.
 
-Must run before any jax import (SURVEY.md §4: exercise pjit sharding without
-TPUs via xla_force_host_platform_device_count).
+The environment's sitecustomize registers the remote-TPU (axon) backend at
+interpreter startup with JAX_PLATFORMS=axon, so plain env-var settings are
+too late/overridden — ``jax.config.update`` before first backend use is the
+reliable override (SURVEY.md §4: exercise pjit sharding without TPUs via
+xla_force_host_platform_device_count).
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on the virtual CPU mesh, got " + str(jax.devices()[:1]))
 
 import numpy as np
 import pytest

@@ -1,0 +1,1 @@
+from tsue_tpu.ops.attention import dot_product_attention

@@ -1,0 +1,77 @@
+"""Attention ops: single entry point used by every model in the framework.
+
+All attention in the framework (Q-Former, Llama, LTSF cross/self attention,
+lane encoder, MMTrans baseline) funnels through ``dot_product_attention`` so
+the Pallas flash-attention kernel can be swapped in at ONE place.  The XLA
+path is always available and is the reference for kernel parity tests.
+
+Replaces torch.nn.MultiheadAttention / HF attention used throughout the
+reference (e.g. ref scripts/train.py:662, 793-798).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_IMPL = "xla"  # switched to "pallas" by tsue_tpu.ops.flash when beneficial
+
+
+def set_attention_impl(name: str):
+    global _IMPL
+    assert name in ("xla", "pallas")
+    _IMPL = name
+
+
+def get_attention_impl() -> str:
+    return _IMPL
+
+
+def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                          mask: Optional[jnp.ndarray] = None,
+                          is_causal: bool = False,
+                          scale: Optional[float] = None) -> jnp.ndarray:
+    """Scaled dot-product attention.
+
+    Args:
+      q: (B, Tq, H, Dh)
+      k, v: (B, Tk, Hkv, Dh) — Hkv may divide H (GQA)
+      mask: optional boolean (B, 1|H, Tq, Tk) or (B, Tk) key-validity mask;
+            True = attend.
+      is_causal: add causal masking (decoder LM).
+    Returns: (B, Tq, H, Dh)
+    """
+    B, Tq, H, Dh = q.shape
+    Hkv = k.shape[2]
+    if scale is None:
+        scale = Dh ** -0.5
+
+    if Hkv != H:
+        rep = H // Hkv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+
+    if _IMPL == "pallas":
+        from tsue_tpu.ops.flash import flash_attention
+        return flash_attention(q, k, v, mask=mask, is_causal=is_causal,
+                               scale=scale)
+    return _xla_attention(q, k, v, mask, is_causal, scale)
+
+
+def _xla_attention(q, k, v, mask, is_causal, scale):
+    B, Tq, H, Dh = q.shape
+    Tk = k.shape[1]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    neg = jnp.finfo(logits.dtype).min
+    if mask is not None:
+        if mask.ndim == 2:            # (B, Tk) key-validity
+            mask = mask[:, None, None, :]
+        logits = jnp.where(mask, logits, neg)
+    if is_causal:
+        causal = jnp.tril(jnp.ones((Tq, Tk), dtype=bool), k=Tk - Tq)
+        logits = jnp.where(causal[None, None], logits, neg)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)

@@ -1,0 +1,2 @@
+from tsue_tpu.parallel.mesh import (
+    make_mesh, shard_batch, replicate, batch_sharding, is_primary)

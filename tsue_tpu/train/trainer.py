@@ -1,0 +1,180 @@
+"""Training: freeze regimes as optax masks, jit'ed DP train/eval steps.
+
+Replaces the reference's per-script DDP loops (ref scripts/train.py:1044-1328):
+- freeze regimes = optax.multi_transform over param-path labels instead of
+  ``requires_grad`` flips + ``find_unused_parameters=True`` DDP
+  (ref scripts/train.py:1127-1145, modify_scripts/modify_train.py:522-528,
+  modify_scripts/modify.py:523-525);
+- non-finite-loss step skip = optax.apply_if_finite
+  (ref modify_scripts/modify_train.py:1188-1194);
+- gradient all-reduce is implicit: the loss is a global mean over the
+  data-sharded batch, so XLA inserts the psum (no DDP hooks).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from tsue_tpu.config import ExperimentConfig
+from tsue_tpu.train.losses import denorm_mse_loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Callable = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, apply_fn, params, tx):
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   opt_state=tx.init(params), tx=tx, apply_fn=apply_fn)
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(step=self.step + 1,
+                            params=optax.apply_updates(self.params, updates),
+                            opt_state=new_opt)
+
+
+# ---------------------------------------------------------------------------
+# Freeze regimes
+# ---------------------------------------------------------------------------
+
+def _path_strs(path) -> Tuple[str, ...]:
+    out = []
+    for p in path:
+        key = getattr(p, "key", None)
+        out.append(str(key if key is not None else p))
+    return tuple(out)
+
+
+def freeze_label(path_strs: Tuple[str, ...], regime: str) -> str:
+    """Return "train" or "freeze" for a param path under the given regime.
+
+    Regimes (SURVEY.md §2.6 T1-T4):
+      frozen_mllm — whole mllm subtree frozen (ref scripts/train.py:1141-1142)
+      joint       — everything trainable (ref im_kim_train_GRN.py:976-1008)
+      lora_only   — inside mllm/llama only lora params train
+                    (ref modify_train.py:522-528); everything else trains
+      full_freeze — mllm/llama frozen incl. LoRA (ref modify.py:523-525);
+                    qformer/forecaster train
+    """
+    in_mllm = "mllm" in path_strs
+    in_llama = in_mllm and any(p == "llama" for p in path_strs)
+    is_lora = any("lora" in p for p in path_strs)
+    if regime == "joint":
+        return "train"
+    if regime == "frozen_mllm":
+        return "freeze" if in_mllm else "train"
+    if regime == "lora_only":
+        if in_llama and not is_lora:
+            return "freeze"
+        return "train"
+    if regime == "full_freeze":
+        return "freeze" if in_llama else "train"
+    raise ValueError(f"unknown freeze regime {regime!r}")
+
+
+def make_optimizer(cfg: ExperimentConfig, params) -> optax.GradientTransformation:
+    """AdamW(lr, wd=1e-4) + clip + freeze mask + non-finite guard."""
+    tcfg = cfg.train
+    chain = []
+    if tcfg.grad_clip:
+        chain.append(optax.clip_by_global_norm(tcfg.grad_clip))
+    chain.append(optax.adamw(tcfg.lr, weight_decay=tcfg.weight_decay))
+    inner = optax.chain(*chain)
+
+    labels = jax.tree_util.tree_map_with_path(
+        lambda path, _: freeze_label(_path_strs(path), tcfg.freeze_regime),
+        params)
+    tx = optax.multi_transform(
+        {"train": inner, "freeze": optax.set_to_zero()}, labels)
+    if tcfg.nan_guard:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+    return tx
+
+
+# ---------------------------------------------------------------------------
+# Steps
+# ---------------------------------------------------------------------------
+
+def make_train_step(cfg: ExperimentConfig):
+    """Returns a jit-able (state, batch, rng) -> (state, metrics)."""
+
+    def loss_fn(params, state, batch, rng):
+        pred = state.apply_fn(
+            {"params": params}, batch, False,
+            rngs={"dropout": rng})
+        loss = denorm_mse_loss(pred, batch["traj_out"], batch["norm_stat"],
+                               batch.get("valid"))
+        return loss, pred
+
+    def step(state: TrainState, batch: Dict, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state, batch, rng)
+        new_state = state.apply_gradients(grads)
+        return new_state, {"loss": loss}
+
+    return step
+
+
+def make_eval_step(cfg: ExperimentConfig):
+    def step(state: TrainState, batch: Dict):
+        pred = state.apply_fn({"params": state.params}, batch, True)
+        loss = denorm_mse_loss(pred, batch["traj_out"], batch["norm_stat"],
+                               batch.get("valid"))
+        return {"loss": loss, "pred": pred}
+    return step
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Epoch-level orchestration: train/val loops, best-val tracking.
+
+    Mirrors ref scripts/train.py:1151-1252 minus the per-rank divergence
+    hazards; checkpoint IO lives in tsue_tpu.train.checkpoint.
+    """
+    cfg: ExperimentConfig
+    state: TrainState
+    mesh: Any = None
+
+    def __post_init__(self):
+        self._train_step = jax.jit(make_train_step(self.cfg), donate_argnums=0)
+        self._eval_step = jax.jit(make_eval_step(self.cfg))
+        self.best_val = float("inf")
+        self.best_params = None
+
+    def train_epoch(self, iterator, rng, shard=None) -> float:
+        total, n = 0.0, 0
+        for batch in iterator:
+            batch = shard(batch) if shard else batch
+            self.state, m = self._train_step(self.state, batch, rng)
+            total += float(m["loss"])
+            n += 1
+        return total / max(n, 1)
+
+    def eval_epoch(self, iterator, shard=None) -> float:
+        total, n = 0.0, 0
+        for batch in iterator:
+            batch = shard(batch) if shard else batch
+            m = self._eval_step(self.state, batch)
+            total += float(m["loss"])
+            n += 1
+        return total / max(n, 1)
+
+    def maybe_update_best(self, val_loss: float) -> bool:
+        if val_loss < self.best_val:
+            self.best_val = val_loss
+            self.best_params = jax.tree.map(lambda x: x, self.state.params)
+            return True
+        return False
