@@ -1,0 +1,95 @@
+"""Multimodal fusion: Q-Former image tokens + text embeddings -> Llama.
+
+Parity with ref scripts/train.py:459-575 (``LlamaMultiModal``): image tokens
+projected to the LLM width, plus learned vision/text modality embeddings,
+input-level concat [img || text], extended attention mask, labels prefixed
+with -100 over the image span, Llama forward returning last hidden states.
+
+Deltas by design:
+- the LM loss is only computed when asked (stage 1); stage 2 skips the
+  vocab matmul entirely (the reference computes and discards it,
+  ref scripts/train.py:547-554);
+- cross-attention consumers receive the fused validity mask; the reference
+  attends over pad positions (no key_padding_mask at ref :793-798) but pads
+  only to the per-batch max — with our static 512-token padding, masking is
+  the behavior-preserving choice;
+- ``use_vision=False`` reproduces the no-vision/dummy-text ablation
+  (ref modify_scripts/modify_train2.py:645-759) by feeding text only.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tsue_tpu.config import LlamaConfig, QFormerConfig
+from tsue_tpu.models.llama import LlamaForCausalLM, causal_lm_loss
+from tsue_tpu.models.qformer import QFormer
+
+IGNORE_LABEL = -100
+
+
+class MultiModalLLM(nn.Module):
+    llama: LlamaConfig
+    qformer: QFormerConfig
+    use_vision: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        if self.use_vision:
+            self.qformer_mod = QFormer(self.qformer, name="qformer")
+            if self.qformer.hidden_size != self.llama.hidden_size:
+                self.q_proj = nn.Dense(self.llama.hidden_size, name="q_proj")
+            else:
+                self.q_proj = lambda x: x
+            self.vision_modality_embedding = self.param(
+                "vision_modality_embedding", nn.initializers.normal(1.0),
+                (1, 1, self.llama.hidden_size))
+        self.text_modality_embedding = self.param(
+            "text_modality_embedding", nn.initializers.normal(1.0),
+            (1, 1, self.llama.hidden_size))
+        self.llama_mod = LlamaForCausalLM(self.llama, self.dtype, name="llama")
+
+    def image_tokens(self, vision, deterministic=True):
+        toks = self.qformer_mod(vision, deterministic)
+        toks = self.q_proj(toks)
+        return toks + self.vision_modality_embedding
+
+    def fuse(self, vision, input_ids, attention_mask, deterministic=True):
+        """Build fused embeddings/mask; returns (embeds, mask, n_img)."""
+        text_embeds = self.llama_mod.embed(input_ids)
+        text_embeds = text_embeds + self.text_modality_embedding
+        if self.use_vision and vision is not None:
+            img = self.image_tokens(vision, deterministic)
+            n_img = img.shape[1]
+            fused = jnp.concatenate([img.astype(text_embeds.dtype),
+                                     text_embeds], axis=1)
+            img_mask = jnp.ones((fused.shape[0], n_img),
+                                attention_mask.dtype)
+            mask = jnp.concatenate([img_mask, attention_mask], axis=1)
+        else:
+            fused, mask, n_img = text_embeds, attention_mask, 0
+        return fused, mask, n_img
+
+    def __call__(self, vision, input_ids, attention_mask,
+                 deterministic=True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Stage-2 path: returns (final_hidden (B, n_img+L, D), fused_mask)."""
+        fused, mask, _ = self.fuse(vision, input_ids, attention_mask,
+                                   deterministic)
+        out = self.llama_mod(fused, mask, deterministic=deterministic)
+        return out["hidden"], mask
+
+    def lm_loss(self, vision, input_ids, attention_mask, labels,
+                deterministic=True) -> jnp.ndarray:
+        """Stage-1 path: causal LM loss over the fused sequence with -100
+        prepended across the image-token span (ref scripts/train.py:534-543)."""
+        fused, mask, n_img = self.fuse(vision, input_ids, attention_mask,
+                                       deterministic)
+        if n_img:
+            pad = jnp.full((labels.shape[0], n_img), IGNORE_LABEL,
+                           labels.dtype)
+            labels = jnp.concatenate([pad, labels], axis=1)
+        out = self.llama_mod(fused, mask, labels=labels,
+                             deterministic=deterministic)
+        return out["loss"]
