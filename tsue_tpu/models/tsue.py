@@ -4,17 +4,27 @@ Parity with ref scripts/train.py:847-964 (``MultiModalTrajectoryModel``):
 lane polygon encoder + (optional) multimodal LLM hidden states + LTSF
 forecaster + last-input-position residual.
 
+The forward is split into two stages that ``__call__`` composes:
+- ``encode_context``: lane embedding + MLLM final hidden states — the
+  expensive, deterministic-at-eval part;
+- ``forecast``: the LTSF forecaster whose dropout drives MC-candidate
+  diversity.
+K-candidate evaluation vmaps only ``forecast`` over dropout keys ("fast"
+mode), computing the LLM hidden once per batch instead of the reference's
+K sequential full forwards (ref scripts/test.py:1327-1339); strict-parity
+mode still vmaps the whole model.
+
 The denormalized-MSE loss lives in ``tsue_tpu.train.losses`` as a pure
 function (the reference computes it inside ``forward``, ref :945-961).
 
 Ablation matrix:
-- ``use_llm=False``  -> no-LLM ablation (ref scripts/ablation_study.py:455-530)
-- ``use_vision=False``-> dummy-text/no-vision ablation handled in the fusion
-  module (ref modify_scripts/modify_train2.py:645-759)
+- ``use_llm=False``   -> no-LLM ablation (ref scripts/ablation_study.py:455-530)
+- ``use_vision=False`` -> dummy-text/no-vision ablation handled in the
+  fusion module (ref modify_scripts/modify_train2.py:645-759)
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -29,34 +39,20 @@ class TrajectoryModel(nn.Module):
     seq_len: int
     out_len: int
 
-    @nn.compact
-    def __call__(self, batch: dict, deterministic: bool = True):
-        """batch: dict with traj_in (B,2,T), polygon (B,P,2), polygon_len (B,)
-        and, when use_llm, vision (B,T,Dv) + input_ids/attention_mask (B,L).
-        Returns pred (B,2,out_len) in normalized coords."""
+    def setup(self):
         cfg = self.cfg
-        x = batch["traj_in"]
-
-        poly_emb = LanePolygonEncoder(
+        self.lane_encoder = LanePolygonEncoder(
             d_model=cfg.lane.d_model, num_heads=cfg.lane.nhead,
             num_layers=cfg.lane.num_layers, max_points=cfg.lane.max_points,
-            dropout=cfg.lane.dropout, name="lane_encoder")(
-            batch["polygon"], batch["polygon_len"], deterministic)
-
-        final_hidden = None
-        hidden_mask = None
-        cross_dim = cfg.llama.hidden_size
+            dropout=cfg.lane.dropout, name="lane_encoder")
         if cfg.use_llm:
             from tsue_tpu.models.fusion import MultiModalLLM
-            final_hidden, hidden_mask = MultiModalLLM(
+            import jax.numpy as jnp_
+            dtype = jnp_.bfloat16 if cfg.dtype == "bfloat16" else jnp_.float32
+            self.mllm = MultiModalLLM(
                 llama=cfg.llama, qformer=cfg.qformer,
-                use_vision=cfg.use_vision, name="mllm")(
-                vision=batch["vision"],
-                input_ids=batch["input_ids"],
-                attention_mask=batch["attention_mask"],
-                deterministic=deterministic)
-
-        pred = TransformerLTSF(
+                use_vision=cfg.use_vision, dtype=dtype, name="mllm")
+        self.ltsf = TransformerLTSF(
             seq_len=self.seq_len, out_len=self.out_len,
             d_model=cfg.ltsf.d_model, individual=cfg.ltsf.individual,
             feature_size=cfg.ltsf.feature_size,
@@ -64,10 +60,33 @@ class TrajectoryModel(nn.Module):
             use_post_mlp=cfg.ltsf.use_post_mlp,
             post_mlp_hidden_dim=cfg.ltsf.post_mlp_hidden_dim,
             nhead=cfg.ltsf.nhead, dropout=cfg.ltsf.dropout,
-            cross_dim=cross_dim, cross_nhead=cfg.ltsf.cross_nhead,
-            use_cross_attn=cfg.use_llm, name="ltsf")(
-            x, poly_emb, final_hidden, hidden_mask, deterministic)
+            cross_dim=cfg.llama.hidden_size, cross_nhead=cfg.ltsf.cross_nhead,
+            use_cross_attn=cfg.use_llm, name="ltsf")
 
-        # last-input-position residual over the horizon (ref :941-943)
-        last = x[:, :, -1:]
-        return pred + last
+    def encode_context(self, batch: dict, deterministic: bool = True):
+        """(final_hidden, hidden_mask, poly_emb) — the per-batch context."""
+        poly_emb = self.lane_encoder(batch["polygon"], batch["polygon_len"],
+                                     deterministic)
+        final_hidden, hidden_mask = None, None
+        if self.cfg.use_llm:
+            final_hidden, hidden_mask = self.mllm(
+                vision=batch.get("vision") if self.cfg.use_vision else None,
+                input_ids=batch["input_ids"],
+                attention_mask=batch["attention_mask"],
+                deterministic=deterministic)
+        return final_hidden, hidden_mask, poly_emb
+
+    def forecast(self, batch: dict, final_hidden, hidden_mask, poly_emb,
+                 deterministic: bool = True):
+        """LTSF decode + last-input-position residual (ref :941-943)."""
+        x = batch["traj_in"]
+        pred = self.ltsf(x, poly_emb, final_hidden, hidden_mask,
+                         deterministic)
+        return pred + x[:, :, -1:]
+
+    def __call__(self, batch: dict, deterministic: bool = True):
+        """batch -> pred (B, 2, out_len) in normalized coords."""
+        final_hidden, hidden_mask, poly_emb = self.encode_context(
+            batch, deterministic)
+        return self.forecast(batch, final_hidden, hidden_mask, poly_emb,
+                             deterministic)
