@@ -1,0 +1,156 @@
+"""Sampling processors and soft-prefix cached generation."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tsue_tpu.config import LlamaConfig, QFormerConfig
+from tsue_tpu.data.tokenizer import ByteTokenizer
+from tsue_tpu.eval.generation import (generate_texts, make_generate_fn,
+                                      postprocess_text)
+from tsue_tpu.models.fusion import MultiModalLLM
+from tsue_tpu.ops.sampling import (SamplingConfig, apply_no_repeat_ngram,
+                                   apply_repetition_penalty, apply_top_k,
+                                   apply_top_p, process_and_sample)
+
+V = 12
+
+
+def _hist(rows, lens):
+    return jnp.asarray(rows, jnp.int32), jnp.asarray(lens, jnp.int32)
+
+
+class TestProcessors:
+    def test_top_k(self):
+        logits = jnp.asarray([[1., 5., 3., 2., 4.]])
+        out = np.asarray(apply_top_k(logits, 2))
+        assert np.isfinite(out[0, 1]) and np.isfinite(out[0, 4])
+        assert (out[0, [0, 2, 3]] < -1e8).all()
+
+    def test_top_p_keeps_minimal_prefix(self):
+        # probs ~ [0.97, 0.01, ...] => p=0.9 keeps only the top token
+        logits = jnp.asarray([[10., 5., 4., 3., 2.]])
+        out = np.asarray(apply_top_p(logits, 0.9))
+        assert np.isfinite(out[0, 0])
+        assert (out[0, 1:] < -1e8).all()
+        # p=1 keeps everything
+        out_full = np.asarray(apply_top_p(logits, 1.0))
+        assert np.isfinite(out_full).all()
+
+    def test_repetition_penalty(self):
+        logits = jnp.asarray([[2.0, -2.0, 1.0, 0.5] + [0.0] * (V - 4)])
+        hist, hlen = _hist([[0, 1, 0, 0]], [2])  # tokens 0 and 1 seen
+        out = np.asarray(apply_repetition_penalty(logits, hist, hlen, 2.0))
+        np.testing.assert_allclose(out[0, 0], 1.0)   # positive: divided
+        np.testing.assert_allclose(out[0, 1], -4.0)  # negative: multiplied
+        np.testing.assert_allclose(out[0, 2], 1.0)   # unseen: untouched
+        # token beyond hlen (index 2 is 0 but 0 already seen) — check a pad
+        # position isn't counted: token 3 at padded slots stays untouched
+        hist2, hlen2 = _hist([[0, 1, 3, 3]], [2])
+        out2 = np.asarray(apply_repetition_penalty(logits, hist2, hlen2, 2.0))
+        np.testing.assert_allclose(out2[0, 3], 0.5)
+
+    def test_no_repeat_ngram(self):
+        # history: 5 6 7 5 6 -> suffix (5,6) seen at pos 0 followed by 7
+        hist, hlen = _hist([[5, 6, 7, 5, 6, 0, 0]], [5])
+        logits = jnp.zeros((1, V))
+        out = np.asarray(apply_no_repeat_ngram(logits, hist, hlen, 3))
+        assert out[0, 7] < -1e8
+        assert np.isfinite(np.delete(out[0], 7)).all()
+
+    def test_no_repeat_ngram_short_history(self):
+        hist, hlen = _hist([[5, 0, 0]], [1])
+        out = np.asarray(apply_no_repeat_ngram(jnp.zeros((1, V)), hist,
+                                               hlen, 3))
+        assert np.isfinite(out).all()
+
+    def test_greedy_mode(self):
+        logits = jnp.asarray([[0.1, 3.0, 0.2] + [0.0] * (V - 3)])
+        hist, hlen = _hist([[0] * 4], [0])
+        cfg = SamplingConfig(do_sample=False, repetition_penalty=1.0,
+                             no_repeat_ngram_size=0)
+        tok = process_and_sample(logits, jax.random.key(0), hist, hlen, cfg)
+        assert int(tok[0]) == 1
+
+    def test_top_k_1_is_greedy(self):
+        logits = jax.random.normal(jax.random.key(0), (3, V))
+        hist, hlen = _hist([[0] * 4] * 3, [0] * 3)
+        cfg = SamplingConfig(top_k=1, top_p=1.0, repetition_penalty=1.0,
+                             no_repeat_ngram_size=0, temperature=1.0)
+        tok = process_and_sample(logits, jax.random.key(1), hist, hlen, cfg)
+        np.testing.assert_array_equal(np.asarray(tok),
+                                      np.asarray(jnp.argmax(logits, -1)))
+
+
+TINY_Q = QFormerConfig(vision_dim=16, hidden_size=32, num_heads=4,
+                       num_encoder_layers=1, num_decoder_layers=1,
+                       num_query_tokens=4)
+
+
+@pytest.fixture(scope="module")
+def gen_setup():
+    tok = ByteTokenizer()
+    llama = LlamaConfig.tiny(tok.vocab_size)
+    mllm = MultiModalLLM(llama=llama, qformer=TINY_Q)
+    B, TV, L = 2, 3, 8
+    vision = jnp.ones((B, TV, 16))
+    ids = jnp.asarray(np.tile(tok.encode("Answer:\n"), (B, 1)), jnp.int32)[:, :L]
+    mask = jnp.ones_like(ids)
+    vs = mllm.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                   vision, ids, mask)
+    return tok, mllm, vs, vision, ids, mask
+
+
+class TestGeneration:
+    def test_generates_fixed_shape_ids(self, gen_setup):
+        tok, mllm, vs, vision, ids, mask = gen_setup
+        gen = make_generate_fn(mllm, SamplingConfig(), 6, ids.shape[1],
+                               tok.eos_id, tok.pad_id)
+        out = gen(vs, vision, ids, mask, jax.random.key(0))
+        assert out.shape == (2, 6)
+        assert (np.asarray(out) >= 0).all()
+        assert (np.asarray(out) < tok.vocab_size).all()
+
+    def test_deterministic_given_key(self, gen_setup):
+        tok, mllm, vs, vision, ids, mask = gen_setup
+        gen = make_generate_fn(mllm, SamplingConfig(), 6, ids.shape[1],
+                               tok.eos_id, tok.pad_id)
+        o1 = gen(vs, vision, ids, mask, jax.random.key(7))
+        o2 = gen(vs, vision, ids, mask, jax.random.key(7))
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+        o3 = gen(vs, vision, ids, mask, jax.random.key(8))
+        assert not np.array_equal(np.asarray(o1), np.asarray(o3))
+
+    def test_greedy_matches_uncached_forward(self, gen_setup):
+        """1-step greedy decode == argmax over the uncached fused forward."""
+        tok, mllm, vs, vision, ids, mask = gen_setup
+        cfg = SamplingConfig(do_sample=False, repetition_penalty=1.0,
+                             no_repeat_ngram_size=0)
+        gen = make_generate_fn(mllm, cfg, 1, ids.shape[1], tok.eos_id,
+                               tok.pad_id)
+        out = np.asarray(gen(vs, vision, ids, mask, jax.random.key(0)))
+        # uncached: full fused forward, logits at the last prompt position
+        fused, fmask, n_img = mllm.apply(vs, vision, ids, mask,
+                                         method=mllm.fuse)
+        res = mllm.apply(vs, fused, fmask, compute_logits=True,
+                         method=lambda m, e, am, **kw: m.llama_mod(
+                             e, am, **kw))
+        logits = np.asarray(res["logits"])[:, -1]  # all-ones mask, last pos
+        np.testing.assert_array_equal(out[:, 0], logits.argmax(-1))
+
+    def test_generate_texts_roundtrip(self, gen_setup):
+        tok, mllm, vs, vision, ids, mask = gen_setup
+        texts = generate_texts(mllm, vs, tok, vision, ids, mask,
+                               jax.random.key(0), max_new_tokens=5)
+        assert len(texts) == 2
+        assert all(isinstance(t, str) for t in texts)
+
+
+class TestPostprocess:
+    def test_cutoff(self):
+        t = "abc No right-following vehicle. trailing junk"
+        assert postprocess_text(t).endswith("No right-following vehicle.")
+
+    def test_answer_extraction(self):
+        t = "prompt stuff Answer: the answer text"
+        assert postprocess_text(t, extract_answer=True) == "the answer text"

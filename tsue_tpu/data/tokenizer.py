@@ -43,8 +43,9 @@ class ByteTokenizer:
         return ids
 
     def decode(self, ids: Sequence[int], skip_special_tokens: bool = True) -> str:
+        # ids in the padded vocab tail (>= 259) have no byte; skip them
         bs = bytes(i - self._OFFSET for i in ids
-                   if i >= self._OFFSET)
+                   if self._OFFSET <= i < self._OFFSET + 256)
         return bs.decode("utf-8", errors="replace")
 
     def __call__(self, text, truncation=True, max_length=None,

@@ -1,0 +1,165 @@
+"""Batched text generation: soft-prefix prefill + KV-cached sampled decode.
+
+Capability parity with ``generate_batch`` (ref scripts/train.py:577-654) and
+the distributed generation harness (ref scripts/check_generation.py:331-369):
+
+- condition on the fused [image-tokens || prompt] embedding prefix;
+- sampled decoding with temperature/top-k/top-p/no-repeat-ngram/repetition
+  penalty (HF defaults of the reference: 0.9/40/0.9/3/1.2);
+- early stop on EOS (per sequence), "No right-following vehicle." cutoff
+  post-processing (ref scripts/train.py:648-653) and the "Answer:"
+  extraction of the stage-1 harness (ref scripts/check_generation.py:203-221).
+
+TPU-first: the whole decode is ONE jitted lax.scan over steps — no Python
+autoregressive loop, no embedding monkey-patching, no per-step host syncs.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tsue_tpu.ops.sampling import SamplingConfig, process_and_sample
+
+CUTOFF_MARKER = "No right-following vehicle."
+
+
+def make_generate_fn(mllm, cfg: SamplingConfig, max_new_tokens: int,
+                     prompt_len: int, eos_id: int, pad_id: int = 0):
+    """Build a jitted (variables, vision, prompt_ids, prompt_mask, rng) ->
+    (B, max_new_tokens) int32 generator for fixed shapes."""
+    n_img = mllm.qformer.num_query_tokens if mllm.use_vision else 0
+    P = n_img + prompt_len
+    cache_len = P + max_new_tokens
+    hist_len = prompt_len + max_new_tokens  # token history for processors
+
+    @jax.jit
+    def generate(variables, vision, prompt_ids, prompt_mask, rng):
+        B = prompt_ids.shape[0]
+        caches, last_hidden, prefix_len, fmask = mllm.apply(
+            variables, vision, prompt_ids, prompt_mask, cache_len,
+            method=mllm.prefill)
+        logits0 = mllm.apply(variables, last_hidden,
+                             method=lambda m, h: m.llama_mod.logits_from_hidden(h))
+
+        # token history for repetition penalty / ngram ban starts with the
+        # prompt (HF sees fake_input_ids=prompt_ids, ref train.py:625)
+        history = jnp.concatenate(
+            [prompt_ids, jnp.full((B, max_new_tokens), pad_id, jnp.int32)],
+            axis=1)
+        hlen = prompt_mask.sum(axis=1).astype(jnp.int32)
+
+        def body(carry, step):
+            caches, history, hlen, logits, rng, finished = carry
+            rng, sub = jax.random.split(rng)
+            tok = process_and_sample(logits, sub, history, hlen, cfg)
+            tok = jnp.where(finished, pad_id, tok).astype(jnp.int32)
+            finished = finished | (tok == eos_id)
+            history = history.at[jnp.arange(B), hlen].set(tok)
+            hlen = hlen + jnp.where(finished & (tok == pad_id), 0, 1)
+            new_logits, caches = mllm.apply(
+                variables, tok, step, prefix_len, caches, fmask, cache_len,
+                method=mllm.decode_step)
+            return (caches, history, hlen, new_logits, rng, finished), tok
+
+        init = (caches, history, hlen, logits0, rng,
+                jnp.zeros((B,), bool))
+        _, toks = jax.lax.scan(body, init, jnp.arange(max_new_tokens))
+        return jnp.swapaxes(toks, 0, 1)                   # (B, max_new)
+
+    return generate
+
+
+def postprocess_text(text: str, extract_answer: bool = False) -> str:
+    """Cutoff + optional Answer extraction (ref train.py:648-653,
+    check_generation.py:203-221)."""
+    if extract_answer and "Answer:" in text:
+        text = text.split("Answer:", 1)[1].strip()
+    if CUTOFF_MARKER in text:
+        text = text[:text.index(CUTOFF_MARKER) + len(CUTOFF_MARKER)]
+    return text
+
+
+def generate_texts(mllm, variables, tokenizer, vision, prompt_ids,
+                   prompt_mask, rng, max_new_tokens: int = 128,
+                   cfg: Optional[SamplingConfig] = None,
+                   extract_answer: bool = False) -> List[str]:
+    """End-to-end convenience wrapper: ids in, postprocessed strings out."""
+    cfg = cfg or SamplingConfig()
+    gen = make_generate_fn(mllm, cfg, max_new_tokens,
+                           prompt_ids.shape[1], tokenizer.eos_id,
+                           tokenizer.pad_id)
+    out = np.asarray(gen(variables, vision, jnp.asarray(prompt_ids),
+                         jnp.asarray(prompt_mask), rng))
+    texts = []
+    for row in out:
+        ids = [int(t) for t in row if t != tokenizer.pad_id]
+        if tokenizer.eos_id in ids:
+            ids = ids[:ids.index(tokenizer.eos_id)]
+        texts.append(postprocess_text(tokenizer.decode(ids), extract_answer))
+    return texts
+
+
+def distributed_generate_and_save(mllm, variables, tokenizer, dataset,
+                                  out_path: str, rng,
+                                  batch_size: int = 8,
+                                  max_new_tokens: int = 128,
+                                  cfg: Optional[SamplingConfig] = None):
+    """Multi-process generation eval (ref check_generation.py:331-369).
+
+    Each process generates for its shard; results are gathered to process 0
+    which writes generated-vs-reference pairs.  Single-process it just runs
+    everything locally.
+    """
+    import jax
+    from tsue_tpu.data.dataset import BatchIterator
+    from tsue_tpu.parallel.mesh import is_primary
+
+    cfg = cfg or SamplingConfig()
+    it = BatchIterator(dataset, batch_size=batch_size, shuffle=False,
+                       process_index=jax.process_index(),
+                       process_count=jax.process_count())
+    gen = None
+    tids, rows, valids = [], [], []
+    for i, batch in enumerate(it):
+        if gen is None:
+            gen = make_generate_fn(mllm, cfg, max_new_tokens,
+                                   batch["input_ids"].shape[1],
+                                   tokenizer.eos_id, tokenizer.pad_id)
+        out = gen(variables, jnp.asarray(batch["vision"]),
+                  jnp.asarray(batch["input_ids"]),
+                  jnp.asarray(batch["attention_mask"]),
+                  jax.random.fold_in(rng, i))
+        tids.append(np.asarray(batch["track_id"]))
+        rows.append(np.asarray(out))
+        valids.append(np.asarray(batch["valid"]))
+    if not rows:
+        return []
+    tids = np.concatenate(tids); rows = np.concatenate(rows)
+    valids = np.concatenate(valids)
+    if jax.process_count() > 1:
+        # array gather (the JAX-native analogue of the reference's
+        # all_gather_object); decoding happens on process 0 only
+        from jax.experimental import multihost_utils
+        tids = np.concatenate(multihost_utils.process_allgather(tids))
+        rows = np.concatenate(multihost_utils.process_allgather(rows))
+        valids = np.concatenate(multihost_utils.process_allgather(valids))
+    records = []
+    if is_primary():
+        for tid, row, v in zip(tids, rows, valids):
+            if not v:
+                continue
+            ids = [int(t) for t in row if t != tokenizer.pad_id]
+            if tokenizer.eos_id in ids:
+                ids = ids[:ids.index(tokenizer.eos_id)]
+            records.append({"track_id": int(tid),
+                            "generated": postprocess_text(
+                                tokenizer.decode(ids))})
+        with open(out_path, "w") as f:
+            for rec in records:
+                f.write(f"[track {rec['track_id']}]\n"
+                        f"GENERATED: {rec['generated']}\n\n")
+    return records

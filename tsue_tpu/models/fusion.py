@@ -80,6 +80,72 @@ class MultiModalLLM(nn.Module):
         out = self.llama_mod(fused, mask, deterministic=deterministic)
         return out["hidden"], mask
 
+    # ------------------------------------------------------------------
+    # Generation support (soft-prefix prefill + cached decode)
+    # ------------------------------------------------------------------
+
+    def prefill(self, vision, prompt_ids, prompt_mask, cache_len: int,
+                deterministic=True):
+        """Prefill the KV cache with the fused [img || prompt] prefix.
+
+        The reference achieves soft-prefix generation by monkey-patching the
+        LLM's input embedding module (ref scripts/train.py:606-623); here the
+        prefix is simply embedding-level input to the decode stack.
+
+        Returns (caches, last_hidden (B, D), prefix_valid_len (B,),
+        fused_mask (B, P)).  ``cache_len`` is the total cache size
+        (P + max_new_tokens).
+        """
+        import jax
+        fused, fmask, n_img = self.fuse(vision, prompt_ids, prompt_mask,
+                                        deterministic)
+        B, P, D = fused.shape
+        positions = jnp.maximum(jnp.cumsum(fmask, axis=1) - 1, 0)
+        c = self.llama
+        shape = (B, cache_len, c.num_kv_heads, c.head_dim)
+        caches = [(jnp.zeros(shape, fused.dtype),
+                   jnp.zeros(shape, fused.dtype))
+                  for _ in range(c.num_layers)]
+        # (B, 1, P, cache_len) mask: within-prefix causal AND key validity
+        q_idx = jnp.arange(P)[:, None]
+        k_idx = jnp.arange(cache_len)[None, :]
+        causal = k_idx <= q_idx                          # (P, cache_len)
+        fmask_cache = jnp.pad(fmask, ((0, 0), (0, cache_len - P)))
+        key_valid = fmask_cache[:, None, :] > 0          # (B, 1, cache_len)
+        mask = (causal[None] & key_valid)[:, None]       # (B, 1, P, cache_len)
+        hidden, caches = self.llama_mod.model(
+            fused, None, positions, deterministic, caches, 0, mask)
+        valid_len = fmask.sum(axis=1)                    # (B,)
+        last_hidden = jnp.take_along_axis(
+            hidden, (valid_len - 1)[:, None, None].astype(jnp.int32), axis=1
+        )[:, 0]
+        return caches, last_hidden, valid_len.astype(jnp.int32), fmask
+
+    def decode_step(self, token, step_index, prefix_len, caches, fused_mask,
+                    cache_len: int, deterministic=True):
+        """One cached decode step.
+
+        token (B,) int32; step_index scalar int32 (0-based decode step);
+        prefix_len (B,) valid prefix lengths.  Generated tokens use the raw
+        embedding WITHOUT the text modality embedding — matching the
+        reference's patched-embedding behavior for new tokens
+        (ref scripts/train.py:612-619).
+        Returns (logits (B, V), new_caches).
+        """
+        B = token.shape[0]
+        P = fused_mask.shape[1]
+        emb = self.llama_mod.embed(token[:, None])       # (B, 1, D)
+        pos = (prefix_len + step_index)[:, None]         # (B, 1)
+        slot = P + step_index                            # cache write index
+        k_idx = jnp.arange(cache_len)[None, :]
+        fmask_cache = jnp.pad(fused_mask, ((0, 0), (0, cache_len - P)))
+        kv_mask = ((k_idx < P) & (fmask_cache > 0)) | \
+                  ((k_idx >= P) & (k_idx <= slot))       # (B, cache_len)
+        hidden, caches = self.llama_mod.model(
+            emb, None, pos, deterministic, caches, slot, kv_mask)
+        logits = self.llama_mod.logits_from_hidden(hidden[:, 0])
+        return logits, caches
+
     def lm_loss(self, vision, input_ids, attention_mask, labels,
                 deterministic=True) -> jnp.ndarray:
         """Stage-1 path: causal LM loss over the fused sequence with -100

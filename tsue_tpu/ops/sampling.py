@@ -1,0 +1,124 @@
+"""Sampled-decoding logit processors as pure jittable functions.
+
+HF-`generate`-compatible semantics (the reference decodes with do_sample,
+temperature=0.9, top_k=40, top_p=0.9, no_repeat_ngram_size=3,
+repetition_penalty=1.2 — ref scripts/train.py:630-642):
+
+- repetition penalty (CTRL): logits of already-seen tokens are divided by
+  the penalty when positive, multiplied when negative;
+- no-repeat-ngram: tokens completing an already-seen n-gram are banned;
+- top-k then top-p filtering, then temperature sampling.
+
+Everything is fixed-shape: token histories are (B, L_max) with a length
+scalar; banned-token discovery is a vectorized window match, not the
+reference's (HF's) Python dict of n-grams.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9
+
+
+class SamplingConfig(NamedTuple):
+    temperature: float = 0.9
+    top_k: int = 40
+    top_p: float = 0.9
+    repetition_penalty: float = 1.2
+    no_repeat_ngram_size: int = 3
+    do_sample: bool = True
+
+
+def apply_repetition_penalty(logits: jnp.ndarray, token_history: jnp.ndarray,
+                             history_len: jnp.ndarray,
+                             penalty: float) -> jnp.ndarray:
+    """logits (B, V); token_history (B, L) padded ids; history_len (B,)."""
+    if penalty == 1.0:
+        return logits
+    B, V = logits.shape
+    L = token_history.shape[1]
+    valid = jnp.arange(L)[None, :] < history_len[:, None]      # (B, L)
+    seen = jnp.zeros((B, V), bool)
+    seen = seen.at[jnp.arange(B)[:, None], token_history].max(valid)
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen, penalized, logits)
+
+
+def apply_no_repeat_ngram(logits: jnp.ndarray, token_history: jnp.ndarray,
+                          history_len: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Ban tokens that would complete any already-seen n-gram.
+
+    A token v is banned iff the (n-1)-token suffix of the history appeared
+    at some earlier position followed by v.
+    """
+    if n <= 0:
+        return logits
+    B, V = logits.shape
+    L = token_history.shape[1]
+    idx = jnp.arange(L)
+    # suffix: last n-1 generated tokens, gathered at history_len-1-k
+    def suffix_tok(k):  # k = 0..n-2, distance from the end (k=0 is last)
+        pos = jnp.clip(history_len - 1 - k, 0, L - 1)
+        return token_history[jnp.arange(B), pos]              # (B,)
+    # window match at position i: history[i..i+n-2] == suffix
+    match = jnp.ones((B, L), bool)
+    for k in range(n - 1):
+        # token at window offset k must equal suffix token (n-2-k from end)
+        shifted = jnp.roll(token_history, -k, axis=1)
+        match = match & (shifted == suffix_tok(n - 2 - k)[:, None])
+    # window must fit entirely before the current end: i + n - 1 < len
+    fits = idx[None, :] + n - 1 < history_len[:, None]
+    # need at least n-1 tokens of history to define the suffix
+    enough = (history_len >= n - 1)[:, None]
+    match = match & fits & enough
+    # banned token = token at window position i + n - 1
+    next_pos = jnp.clip(idx + n - 1, 0, L - 1)
+    next_tok = token_history[:, next_pos]                     # (B, L)
+    banned = jnp.zeros((B, V), bool)
+    banned = banned.at[jnp.arange(B)[:, None], next_tok].max(match)
+    return jnp.where(banned, NEG_INF, logits)
+
+
+def apply_top_k(logits: jnp.ndarray, k: int) -> jnp.ndarray:
+    if k <= 0 or k >= logits.shape[-1]:
+        return logits
+    vals, _ = jax.lax.top_k(logits, k)
+    thresh = vals[..., -1:]
+    return jnp.where(logits < thresh, NEG_INF, logits)
+
+
+def apply_top_p(logits: jnp.ndarray, p: float) -> jnp.ndarray:
+    """Nucleus filtering: keep the smallest prefix of the sorted
+    distribution with cumulative prob >= p (HF semantics: the first token
+    crossing p is kept)."""
+    if p >= 1.0:
+        return logits
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # mask tokens whose *preceding* cumulative mass already reached p
+    keep = (cum - probs) < p                  # first token is always kept
+    thresh = jnp.min(jnp.where(keep, sorted_logits, jnp.inf), axis=-1,
+                     keepdims=True)           # smallest kept logit
+    return jnp.where(logits >= thresh, logits, NEG_INF)
+
+
+def process_and_sample(logits: jnp.ndarray, rng: jax.Array,
+                       token_history: jnp.ndarray, history_len: jnp.ndarray,
+                       cfg: SamplingConfig) -> jnp.ndarray:
+    """Full processor chain -> next token ids (B,)."""
+    logits = logits.astype(jnp.float32)
+    logits = apply_repetition_penalty(logits, token_history, history_len,
+                                      cfg.repetition_penalty)
+    logits = apply_no_repeat_ngram(logits, token_history, history_len,
+                                   cfg.no_repeat_ngram_size)
+    if not cfg.do_sample:
+        return jnp.argmax(logits, axis=-1)
+    if cfg.temperature != 1.0:
+        logits = logits / cfg.temperature
+    logits = apply_top_k(logits, cfg.top_k)
+    logits = apply_top_p(logits, cfg.top_p)
+    return jax.random.categorical(rng, logits, axis=-1)
