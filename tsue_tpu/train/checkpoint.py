@@ -1,0 +1,107 @@
+"""Checkpointing: Orbax-backed save/restore + stage-1 -> stage-2 handoff.
+
+The reference saves bare ``state_dict`` files on val improvement with no
+optimizer state or step (ref scripts/train.py:1219-1224) and hand-remaps
+keys for the no-LoRA ablation (ref scripts/ablation_study_without_lora.py:
+1070-1084).  Here:
+
+- full train state (params + opt_state + step) via orbax, async-capable;
+- ``save_best`` keeps the best-val params exactly like the reference's
+  best-ckpt protocol, but rank-safe (process 0 writes, all processes agree
+  on the metric because the split/loss are seeded);
+- ``export_mllm`` / ``import_mllm`` implement the stage-1 -> stage-2
+  artifact handoff (ref mllm_lora_ddp_finetuned.pt consumed at
+  scripts/train.py:1137-1138, strict=True);
+- ``strip_lora`` drops lora_* leaves for loading LoRA checkpoints into
+  no-LoRA models (the reference's key-stripping loader).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+    _HAVE_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAVE_ORBAX = False
+
+from flax import traverse_util
+
+
+def _checkpointer():
+    return ocp.StandardCheckpointer()
+
+
+def save_pytree(path: str, tree: Any):
+    """Save a pytree (params or full state) to ``path`` (absolute dir)."""
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        import shutil
+        shutil.rmtree(path)
+    ckptr = _checkpointer()
+    ckptr.save(path, jax.tree.map(np.asarray, tree))
+    ckptr.wait_until_finished()
+
+
+def restore_pytree(path: str, target: Optional[Any] = None) -> Any:
+    """Restore a pytree; ``target`` (same structure) restores types/shapes."""
+    ckptr = _checkpointer()
+    if target is not None:
+        target = jax.tree.map(np.asarray, target)
+        return ckptr.restore(os.path.abspath(path), target=target)
+    return ckptr.restore(os.path.abspath(path))
+
+
+class BestCheckpointer:
+    """Best-val checkpoint protocol (ref scripts/train.py:1219-1224)."""
+
+    def __init__(self, directory: str):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.best_val = float("inf")
+
+    @property
+    def best_path(self):
+        return os.path.join(self.directory, "best")
+
+    def maybe_save(self, val_loss: float, params) -> bool:
+        if val_loss >= self.best_val:
+            return False
+        self.best_val = val_loss
+        if jax.process_index() == 0:
+            save_pytree(self.best_path, params)
+        return True
+
+    def restore_best(self, target=None):
+        return restore_pytree(self.best_path, target)
+
+
+# ---------------------------------------------------------------------------
+# Stage handoff + LoRA surgery
+# ---------------------------------------------------------------------------
+
+def export_mllm(params: Any, path: str):
+    """Save the mllm subtree (stage-1 artifact, ref train.py:1137)."""
+    save_pytree(path, params["mllm"])
+
+
+def import_mllm(params: Any, path: str) -> Any:
+    """Load a stage-1 mllm checkpoint into a full model tree (strict:
+    structures must match, like the reference's strict=True)."""
+    mllm = restore_pytree(path, target=params["mllm"])
+    new = dict(params)
+    new["mllm"] = mllm
+    return new
+
+
+def strip_lora(params: Any) -> Any:
+    """Drop lora_a/lora_b leaves (no-LoRA ablation loader,
+    ref ablation_study_without_lora.py:1070-1084)."""
+    flat = traverse_util.flatten_dict(params)
+    kept = {k: v for k, v in flat.items()
+            if not any(p in ("lora_a", "lora_b") for p in k)}
+    return traverse_util.unflatten_dict(kept)
