@@ -1,0 +1,67 @@
+"""Shared CLI plumbing for the thin entry-point scripts.
+
+Each script mirrors one reference entry point (SURVEY.md §2.7) as
+``python scripts/<name>.py [--data all_data.pkl] [--epochs N] ...`` instead
+of a hard-coded args dict + torchrun.  Multi-host runs need no launcher
+changes: `jax.distributed` picks up the TPU pod environment automatically.
+"""
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The environment's sitecustomize pins JAX_PLATFORMS=axon (remote TPU);
+# TSUE_PLATFORM=cpu (or --platform cpu) forces local CPU — required for
+# smoke runs because *eager* ops round-trip the remote tunnel (~100ms each).
+if os.environ.get("TSUE_PLATFORM"):
+    import jax
+    jax.config.update("jax_platforms", os.environ["TSUE_PLATFORM"])
+
+
+def base_parser(desc: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=desc)
+    p.add_argument("--data", default=None,
+                   help="path to all_data.pkl (synthetic fixture if absent)")
+    p.add_argument("--out-dir", default="runs")
+    p.add_argument("--epochs", type=int, default=None,
+                   help="override preset epoch count")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--synthetic-tracks", type=int, default=40)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny model config (smoke runs / no TPU)")
+    p.add_argument("--platform", default=None, choices=("cpu", "axon"),
+                   help="force a JAX platform (default: environment)")
+    return p
+
+
+def apply_overrides(cfg, args):
+    if getattr(args, "platform", None):
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    tr = cfg.train
+    if args.batch_size:
+        tr = dataclasses.replace(tr, batch_size=args.batch_size)
+    if args.lr:
+        tr = dataclasses.replace(tr, lr=args.lr)
+    cfg = dataclasses.replace(cfg, train=tr)
+    if getattr(args, "tiny", False):
+        from tsue_tpu.config import (LlamaConfig, LaneEncoderConfig,
+                                     LTSFConfig, ModelConfig, QFormerConfig)
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model,
+            llama=LlamaConfig.tiny(),
+            qformer=QFormerConfig(num_encoder_layers=1, num_decoder_layers=1,
+                                  num_query_tokens=4),
+            lane=LaneEncoderConfig(d_model=16, nhead=2, num_layers=1),
+            ltsf=LTSFConfig(d_model=16, polygon_embed_dim=16)))
+        cfg = dataclasses.replace(cfg, data=dataclasses.replace(
+            cfg.data, max_length=640))
+    return cfg
+
+
+def finish(metrics: dict):
+    print(json.dumps(metrics))

@@ -1,0 +1,24 @@
+"""Render the lane-ROI polygon map — mirrors ref scripts/graph.py.
+
+Reads the ROI either from a pickle track file (--data) or generates the
+synthetic parametric map.
+"""
+from _common import base_parser, finish
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--out", default="lane_roi_map.png")
+    args = p.parse_args()
+    from tsue_tpu.data.schema import load_tracks, make_synthetic_lane_roi
+    from tsue_tpu.viz import plot_lane_roi_map
+    if args.data:
+        roi = load_tracks(args.data)[0]["lane_roi"]
+    else:
+        roi = make_synthetic_lane_roi()
+    path = plot_lane_roi_map(roi, args.out_dir, name=args.out)
+    finish({"map": path})
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,49 @@
+"""Publication figure: all test trajectories over the ROI map —
+mirrors ref scripts/plot.py (which implicitly depended on graph.py's
+globals; here the ROI comes from the data or the synthetic map).
+"""
+from _common import apply_overrides, base_parser, finish
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--max-samples", type=int, default=32)
+    args = p.parse_args()
+    import jax, jax.numpy as jnp, numpy as np
+    from tsue_tpu.config import get_preset
+    from tsue_tpu.data import BatchIterator, get_tokenizer
+    from tsue_tpu.data.schema import make_synthetic_lane_roi, load_tracks
+    from tsue_tpu.models.tsue import TrajectoryModel
+    from tsue_tpu.runner import prepare_data
+    from tsue_tpu.train.losses import denorm
+    from tsue_tpu.viz import plot_trajectories_over_map
+
+    cfg = apply_overrides(get_preset("train_18_30"), args)
+    tok = get_tokenizer()
+    _, _, dte = prepare_data(cfg, args.data, tok, args.synthetic_tracks)
+    model = TrajectoryModel(cfg.model, cfg.data.seq_len, cfg.data.out_len)
+    b = {k: jnp.asarray(v)
+         for k, v in next(iter(BatchIterator(dte, 16, shuffle=False))).items()}
+    vs = model.init({"params": jax.random.key(0),
+                     "dropout": jax.random.key(1)}, b, False)
+    params = vs["params"]
+    if args.ckpt:
+        from tsue_tpu.train.checkpoint import restore_pytree
+        params = restore_pytree(args.ckpt, target=params)
+    pred = model.apply({"params": params}, b, True)
+    ns = b["norm_stat"]
+    samples = []
+    for i in range(min(args.max_samples, pred.shape[0])):
+        samples.append({
+            "past": np.asarray(denorm(b["traj_in"], ns))[i],
+            "gt": np.asarray(denorm(b["traj_out"], ns))[i],
+            "pred": np.asarray(denorm(pred, ns))[i]})
+    roi = (load_tracks(args.data)[0]["lane_roi"] if args.data
+           else make_synthetic_lane_roi())
+    path = plot_trajectories_over_map(samples, roi, args.out_dir)
+    finish({"figure": path, "samples": len(samples)})
+
+
+if __name__ == "__main__":
+    main()

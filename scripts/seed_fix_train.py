@@ -1,0 +1,18 @@
+"""Joint end-to-end trainer — mirrors ref scripts/seed_fix_train.py (seed_fix_24_24).
+"""
+from _common import apply_overrides, base_parser, finish
+
+
+def main():
+    p = base_parser(__doc__)
+    args = p.parse_args()
+    from tsue_tpu.config import get_preset
+    from tsue_tpu.runner import run_stage2
+    cfg = apply_overrides(get_preset("seed_fix_24_24"), args)
+    finish(run_stage2(cfg, args.data, args.out_dir, epochs=args.epochs,
+                      eval_candidates=6,
+                      synthetic_tracks=args.synthetic_tracks))
+
+
+if __name__ == "__main__":
+    main()

@@ -217,6 +217,14 @@ def build_windows(tracks: Sequence[dict], cfg: DataConfig,
 
     if not rows["traj_in"]:
         return _empty(cfg, text_len, vision_dim)
+    if cfg.use_text and tokenizer is not None:
+        supervised = sum(int((l != IGNORE_LABEL).sum()) for l in rows["labels"])
+        if supervised == 0:
+            import warnings
+            warnings.warn(
+                "build_windows: every label token is masked (-100); the "
+                f"prompt likely exceeds max_length={cfg.max_length} under "
+                "this tokenizer, so LM training would see zero loss")
     return WindowedDataset(
         traj_in=np.stack(rows["traj_in"]).astype(np.float32),
         traj_out=np.stack(rows["traj_out"]).astype(np.float32),

@@ -1,0 +1,449 @@
+"""Experiment runner: the reference's per-script main()/train_ddp flow as
+one reusable pipeline.
+
+Replaces the copy-a-whole-file experiment pattern (30 monolithic scripts,
+SURVEY.md §2.7) with: preset config -> data build -> jitted DP train loop ->
+best-val checkpoint -> ADE/FDE + K-candidate eval -> visualization, shared
+by every CLI in scripts/.
+
+Call stack parity with ref scripts/train.py:1044-1328 (train_ddp): same
+stages, but the split is seeded (rank-safe), preprocessing happens once per
+host, batches are device-sharded over the mesh's data axis, and eval
+candidates are vmapped on-device.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tsue_tpu.config import ExperimentConfig, get_preset
+from tsue_tpu.data import (BatchIterator, build_windows, check_data_sanity,
+                           get_tokenizer, make_synthetic_tracks, split_tracks)
+from tsue_tpu.data.schema import load_tracks
+from tsue_tpu.eval.metrics import ade_fde, candidate_rollout, min_ade_fde_rmse
+from tsue_tpu.models.tsue import TrajectoryModel
+from tsue_tpu.parallel.mesh import is_primary, make_mesh, shard_batch
+from tsue_tpu.train.checkpoint import BestCheckpointer, import_mllm
+from tsue_tpu.train.trainer import (TrainState, make_eval_step,
+                                    make_optimizer, make_train_step)
+from tsue_tpu.train.losses import denorm
+from tsue_tpu.utils import MetricLogger, seed_everything
+
+
+def prepare_data(cfg: ExperimentConfig, data_path: Optional[str],
+                 tokenizer, synthetic_tracks: int = 40,
+                 synthetic_len: int = 600):
+    """pickle -> sanity -> seeded split -> windows; synthetic fallback."""
+    if data_path and os.path.exists(data_path):
+        tracks = load_tracks(data_path)
+    else:
+        if data_path and is_primary():
+            print(f"[warn] {data_path} not found; using synthetic fixture")
+        tracks = make_synthetic_tracks(num_tracks=synthetic_tracks,
+                                       track_len=synthetic_len,
+                                       vision_dim=cfg.data.vision_dim,
+                                       seed=cfg.data.split_seed)
+    tracks = check_data_sanity(tracks)
+    tr, va, te = split_tracks(tracks, cfg.data.train_ratio,
+                              cfg.data.val_ratio, cfg.data.test_ratio,
+                              seed=cfg.data.split_seed)
+    return (build_windows(tr, cfg.data, tokenizer),
+            build_windows(va, cfg.data, tokenizer),
+            build_windows(te, cfg.data, tokenizer))
+
+
+def _batches(ds, cfg, shuffle, epoch=0, batch_size=None):
+    it = BatchIterator(ds, batch_size or cfg.train.batch_size,
+                       shuffle=shuffle, seed=cfg.train.seed,
+                       process_index=jax.process_index(),
+                       process_count=jax.process_count())
+    it.set_epoch(epoch)
+    return it
+
+
+def run_stage2(cfg: ExperimentConfig, data_path: Optional[str] = None,
+               out_dir: str = "runs", mllm_ckpt: Optional[str] = None,
+               epochs: Optional[int] = None, eval_candidates: int = 0,
+               save_viz: bool = True, synthetic_tracks: int = 40,
+               restore_ckpt: Optional[str] = None) -> Dict:
+    """Full stage-2 pipeline.  Returns final metrics dict."""
+    seed_everything(cfg.train.seed)
+    out_dir = os.path.join(out_dir, cfg.name)
+    logger = MetricLogger(out_dir)
+    tokenizer = get_tokenizer()
+    dtr, dva, dte = prepare_data(cfg, data_path, tokenizer, synthetic_tracks)
+    if is_primary():
+        print(f"windows: train={len(dtr)} val={len(dva)} test={len(dte)}")
+
+    mesh = make_mesh(cfg.mesh.model_parallel)
+    model_cfg = cfg.model
+    if model_cfg.llama.vocab_size != tokenizer.vocab_size and \
+            model_cfg.use_llm:
+        model_cfg = dataclasses.replace(
+            model_cfg, llama=dataclasses.replace(
+                model_cfg.llama, vocab_size=tokenizer.vocab_size))
+    model = TrajectoryModel(model_cfg, cfg.data.seq_len, cfg.data.out_len)
+
+    b0 = next(iter(_batches(dtr, cfg, False)))
+    b0 = {k: jnp.asarray(v) for k, v in b0.items()}
+    variables = model.init({"params": jax.random.key(cfg.train.seed),
+                            "dropout": jax.random.key(1)}, b0, False)
+    params = variables["params"]
+    if mllm_ckpt:
+        params = import_mllm(params, mllm_ckpt)  # stage-1 handoff (T1)
+    if restore_ckpt:  # eval-only flows (ref test.py:1273-1276)
+        from tsue_tpu.train.checkpoint import restore_pytree
+        params = restore_pytree(restore_ckpt, target=params)
+
+    def apply_fn(vs, b, det, rngs=None):
+        return model.apply(vs, b, det, rngs=rngs)
+
+    tx = make_optimizer(cfg, params)
+    state = TrainState.create(apply_fn, params, tx)
+    train_step = jax.jit(make_train_step(cfg), donate_argnums=0)
+    eval_step = jax.jit(make_eval_step(cfg))
+    ckpt = BestCheckpointer(os.path.join(out_dir, "ckpt"))
+    rng = jax.random.key(cfg.train.seed)
+
+    n_epochs = epochs if epochs is not None else cfg.train.epochs
+    with mesh:
+        for epoch in range(n_epochs):
+            tl, tn = 0.0, 0
+            for batch in _batches(dtr, cfg, True, epoch):
+                batch = shard_batch({k: jnp.asarray(v)
+                                     for k, v in batch.items()}, mesh)
+                state, m = train_step(state, batch, rng)
+                tl += float(m["loss"]); tn += 1
+            vl, vn = 0.0, 0
+            for batch in _batches(dva, cfg, False):
+                batch = shard_batch({k: jnp.asarray(v)
+                                     for k, v in batch.items()}, mesh)
+                vl += float(eval_step(state, batch)["loss"]); vn += 1
+            train_loss = tl / max(tn, 1)
+            val_loss = vl / max(vn, 1)
+            logger.log(epoch, train_loss=train_loss, val_loss=val_loss)
+            ckpt.maybe_save(val_loss, state.params)
+
+        # restore best before test (ref train.py:1249-1252)
+        if n_epochs > 0 and ckpt.best_val < float("inf"):
+            state = state.replace(params=ckpt.restore_best(state.params))
+
+        # test: ADE/FDE and optional K-candidate metrics
+        metrics = evaluate(model, state.params, dte, cfg, mesh,
+                           eval_candidates, out_dir if save_viz else None)
+    logger.log(n_epochs, **metrics)
+    logger.close()
+    return metrics
+
+
+def evaluate(model, params, dte, cfg, mesh, eval_candidates: int = 0,
+             viz_dir: Optional[str] = None) -> Dict:
+    """Test loop (ref train.py:1256-1328 / test.py:1279-1396)."""
+    ades, fdes, mins = [], [], []
+    first_batch = None
+    first_pred = None
+    first_cands = None
+    apply_det = jax.jit(lambda p, b: model.apply({"params": p}, b, True))
+
+    def cand_fn(p, b, rng):
+        return candidate_rollout(
+            lambda v, bb, det, rngs: model.apply(v, bb, det, rngs=rngs),
+            {"params": p}, b, eval_candidates, rng)
+    cand_fn = jax.jit(cand_fn) if eval_candidates else None
+
+    for i, batch in enumerate(_batches(dte, cfg, False)):
+        batch = shard_batch({k: jnp.asarray(v) for k, v in batch.items()},
+                            mesh)
+        pred = apply_det(params, batch)
+        a, f = ade_fde(pred, batch["traj_out"], batch["norm_stat"],
+                       batch["valid"])
+        ades.append(float(a)); fdes.append(float(f))
+        if eval_candidates:
+            cands = cand_fn(params, batch, jax.random.key(1000 + i))
+            mins.append([float(x) for x in min_ade_fde_rmse(
+                cands, batch["traj_out"], batch["norm_stat"],
+                batch["valid"])])
+            if first_cands is None:
+                first_cands = np.asarray(cands)
+        if first_batch is None:
+            first_batch = {k: np.asarray(v) for k, v in batch.items()}
+            first_pred = np.asarray(pred)
+
+    out = {"test_ade": float(np.mean(ades)) if ades else float("nan"),
+           "test_fde": float(np.mean(fdes)) if fdes else float("nan")}
+    if mins:
+        m = np.mean(mins, axis=0)
+        out.update(min_ade=float(m[0]), min_fde=float(m[1]),
+                   min_rmse=float(m[2]), K=eval_candidates)
+
+    if viz_dir and first_batch is not None and is_primary():
+        from tsue_tpu.viz import plot_candidates, plot_one_sample
+        ns = jnp.asarray(first_batch["norm_stat"])
+        past = np.asarray(denorm(jnp.asarray(first_batch["traj_in"]), ns))
+        gt = np.asarray(denorm(jnp.asarray(first_batch["traj_out"]), ns))
+        pd = np.asarray(denorm(jnp.asarray(first_pred), ns))
+        plot_one_sample(past[0], gt[0], pd[0],
+                        os.path.join(viz_dir, "viz"), prefix="test")
+        if first_cands is not None:
+            K = first_cands.shape[1]
+            cd = np.asarray(denorm(
+                jnp.asarray(first_cands[0]),
+                jnp.repeat(ns[:1], K, axis=0)))
+            plot_candidates(past[0], gt[0], cd,
+                            os.path.join(viz_dir, "viz"),
+                            prefix="test_candidates")
+    return out
+
+
+def run_baseline(name: str, cfg: ExperimentConfig,
+                 data_path: Optional[str] = None, out_dir: str = "runs",
+                 epochs: Optional[int] = None, eval_candidates: int = 0,
+                 synthetic_tracks: int = 40) -> Dict:
+    """Baseline pipeline (ref scripts/baseline_*.py main flows)."""
+    import optax
+    from tsue_tpu.models.baselines import BASELINE_REGISTRY, cv_candidates
+    from tsue_tpu.train.baseline_steps import (make_baseline_eval_fn,
+                                               make_baseline_train_step)
+
+    seed_everything(cfg.train.seed)
+    out_dir = os.path.join(out_dir, f"baseline_{name}")
+    logger = MetricLogger(out_dir)
+    data_cfg = dataclasses.replace(cfg.data, use_text=False,
+                                   use_vision=False)
+    cfg = dataclasses.replace(cfg, data=data_cfg)
+    dtr, dva, dte = prepare_data(cfg, data_path, None, synthetic_tracks)
+    if is_primary():
+        print(f"windows: train={len(dtr)} val={len(dva)} test={len(dte)}")
+
+    if name == "cv":  # no training (ref baseline_cv.py)
+        K = eval_candidates or 10
+        mins, ades, fdes = [], [], []
+        for i, b in enumerate(_batches(dte, cfg, False)):
+            b = {k: jnp.asarray(v) for k, v in b.items()}
+            cands = cv_candidates(b["traj_in"], cfg.data.out_len,
+                                  jax.random.key(i), K, 0.1)
+            mins.append([float(x) for x in min_ade_fde_rmse(
+                cands, b["traj_out"], b["norm_stat"], b["valid"])])
+            a, f = ade_fde(cands[:, 0], b["traj_out"], b["norm_stat"],
+                           b["valid"])
+            ades.append(float(a)); fdes.append(float(f))
+        m = np.mean(mins, axis=0) if mins else [float("nan")] * 3
+        out = {"test_ade": float(np.mean(ades)), "test_fde": float(np.mean(fdes)),
+               "min_ade": float(m[0]), "min_fde": float(m[1]),
+               "min_rmse": float(m[2]), "K": K}
+        logger.log(0, **out)
+        logger.close()
+        return out
+
+    if name == "gail":
+        return _run_gail(cfg, dtr, dte, logger, epochs)
+
+    model = BASELINE_REGISTRY[name](seq_len=cfg.data.seq_len,
+                                    out_len=cfg.data.out_len)
+    b0 = {k: jnp.asarray(v) for k, v in next(iter(_batches(dtr, cfg, False))).items()}
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "latent": jax.random.key(2), "noise": jax.random.key(3)}
+    variables = dict(model.init(rngs, b0, True))
+    tx = optax.adamw(cfg.train.lr, weight_decay=cfg.train.weight_decay)
+    step = jax.jit(make_baseline_train_step(model, tx))
+    opt_state = tx.init(variables["params"])
+    n_epochs = epochs if epochs is not None else cfg.train.epochs
+    for epoch in range(n_epochs):
+        tl, tn = 0.0, 0
+        for b in _batches(dtr, cfg, True, epoch):
+            b = {k: jnp.asarray(v) for k, v in b.items()}
+            variables, opt_state, m = step(variables, opt_state, b,
+                                           jax.random.key(epoch))
+            tl += float(m["loss"]); tn += 1
+        logger.log(epoch, train_loss=tl / max(tn, 1))
+
+    # test
+    ades, fdes, mins = [], [], []
+    eval_fn = jax.jit(make_baseline_eval_fn(model), static_argnums=3)
+    det_fn = jax.jit(lambda v, b: model.apply(v, b, True))
+    for i, b in enumerate(_batches(dte, cfg, False)):
+        b = {k: jnp.asarray(v) for k, v in b.items()}
+        pred = det_fn(variables, b)
+        a, f = ade_fde(pred, b["traj_out"], b["norm_stat"], b["valid"])
+        ades.append(float(a)); fdes.append(float(f))
+        if eval_candidates:
+            cands = eval_fn(variables, b, jax.random.key(100 + i),
+                            eval_candidates)
+            mins.append([float(x) for x in min_ade_fde_rmse(
+                cands, b["traj_out"], b["norm_stat"], b["valid"])])
+    out = {"test_ade": float(np.mean(ades)) if ades else float("nan"),
+           "test_fde": float(np.mean(fdes)) if fdes else float("nan")}
+    if mins:
+        m = np.mean(mins, axis=0)
+        out.update(min_ade=float(m[0]), min_fde=float(m[1]),
+                   min_rmse=float(m[2]), K=eval_candidates)
+    logger.log(n_epochs, **out)
+    logger.close()
+    return out
+
+
+def _run_gail(cfg, dtr, dte, logger, epochs):
+    import optax
+    from tsue_tpu.models.baselines import GAILDiscriminator, GAILGenerator
+    from tsue_tpu.train.baseline_steps import make_gail_train_step
+    gen = GAILGenerator(seq_len=cfg.data.seq_len, out_len=cfg.data.out_len)
+    disc = GAILDiscriminator(seq_len=cfg.data.seq_len,
+                             out_len=cfg.data.out_len)
+    b0 = {k: jnp.asarray(v) for k, v in next(iter(_batches(dtr, cfg, False))).items()}
+    gvs = gen.init({"params": jax.random.key(0)}, b0, True)
+    dvs = disc.init({"params": jax.random.key(1)}, b0["traj_in"],
+                    b0["traj_out"])
+    g_tx = optax.adam(cfg.train.lr)
+    d_tx = optax.adam(cfg.train.lr)
+    step = jax.jit(make_gail_train_step(gen, disc, g_tx, d_tx))
+    gp, dp = gvs["params"], dvs["params"]
+    go, do = g_tx.init(gp), d_tx.init(dp)
+    n_epochs = epochs if epochs is not None else cfg.train.epochs
+    for epoch in range(n_epochs):
+        gl = dl = n = 0.0
+        for b in _batches(dtr, cfg, True, epoch):
+            b = {k: jnp.asarray(v) for k, v in b.items()}
+            gp, dp, go, do, m = step(gp, dp, go, do, b,
+                                     jax.random.key(epoch))
+            gl += float(m["g_loss"]); dl += float(m["d_loss"]); n += 1
+        logger.log(epoch, g_loss=gl / max(n, 1), d_loss=dl / max(n, 1))
+    ades, fdes = [], []
+    det = jax.jit(lambda p, b: gen.apply({"params": p}, b, True))
+    for b in _batches(dte, cfg, False):
+        b = {k: jnp.asarray(v) for k, v in b.items()}
+        pred = det(gp, b)
+        a, f = ade_fde(pred, b["traj_out"], b["norm_stat"], b["valid"])
+        ades.append(float(a)); fdes.append(float(f))
+    out = {"test_ade": float(np.mean(ades)) if ades else float("nan"),
+           "test_fde": float(np.mean(fdes)) if fdes else float("nan")}
+    logger.log(n_epochs, **out)
+    logger.close()
+    return out
+
+
+def run_diffusion(cfg: ExperimentConfig, data_path: Optional[str] = None,
+                  out_dir: str = "runs", epochs: Optional[int] = None,
+                  cfg_scale: float = 3.0, n_timestep: int = 1000,
+                  n_samples: int = 5, synthetic_tracks: int = 40) -> Dict:
+    """DDPM generate mode (ref capstone_project.py:1138-1423): train the
+    conditional UNet on future trajectories scaled to [-1, 1], sample
+    n_samples reverse chains, dump X/Y-vs-time plots."""
+    import optax
+    from tsue_tpu.models.diffusion import (ConditionalUNet, DDPMSchedule,
+                                           make_diffusion_train_step,
+                                           p_sample_loop)
+    from tsue_tpu.viz import plot_xy_time
+
+    seed_everything(cfg.train.seed)
+    out_dir = os.path.join(out_dir, "diffusion")
+    logger = MetricLogger(out_dir)
+    data_cfg = dataclasses.replace(cfg.data, use_text=False,
+                                   use_vision=False)
+    cfg = dataclasses.replace(cfg, data=data_cfg)
+    dtr, _, dte = prepare_data(cfg, data_path, None, synthetic_tracks)
+
+    model = ConditionalUNet()
+    sched = DDPMSchedule.create("cosine", n_timestep)
+    T = cfg.data.out_len
+    x0_init = jnp.zeros((2 * cfg.train.batch_size, 2, T))
+    cond_init = jnp.zeros((2 * cfg.train.batch_size, 128))
+    vs = model.init({"params": jax.random.key(0)}, x0_init, cond_init)
+    params = vs["params"]
+    ema_params = jax.tree.map(jnp.copy, params)
+    tx = optax.adam(1e-4)
+    opt_state = tx.init(params)
+    step = jax.jit(make_diffusion_train_step(model, sched, tx, cfg_scale))
+
+    def to_pm1(x):  # [0,1] -> [-1,1] (sampling clamps at +-1)
+        return x * 2.0 - 1.0
+
+    n_epochs = epochs if epochs is not None else 50
+    for epoch in range(n_epochs):
+        tl, tn = 0.0, 0
+        for b in _batches(dtr, cfg, True, epoch):
+            x0 = to_pm1(jnp.asarray(b["traj_out"]))
+            cond = jnp.zeros((x0.shape[0], 128))  # placeholder cond (ref :1218-1221)
+            params, opt_state, ema_params, m = step(
+                params, opt_state, ema_params, x0, cond,
+                jax.random.key(epoch * 1000 + tn))
+            tl += float(m["loss"]); tn += 1
+        logger.log(epoch, diff_loss=tl / max(tn, 1))
+
+    # sampling with EMA params (ref ema.apply_shadow, :1282)
+    cond = jnp.zeros((2 * n_samples, 128))
+    out = p_sample_loop(model, {"params": ema_params}, sched,
+                        (2 * n_samples, 2, T), cond, jax.random.key(7),
+                        cfg_scale)
+    guided = np.asarray(out[n_samples:])          # cond half (CFG-combined)
+    if is_primary() and len(dte):
+        gt = (np.asarray(dte.traj_out[0]) * 2.0 - 1.0)
+        plot_xy_time(gt, list(guided), os.path.join(out_dir, "viz"),
+                     prefix="ddpm_samples")
+    metrics = {"final_diff_loss": tl / max(tn, 1) if n_epochs else float("nan"),
+               "samples": int(n_samples)}
+    logger.log(n_epochs, **metrics)
+    logger.close()
+    return metrics
+
+
+def run_stage1(cfg: ExperimentConfig, data_path: Optional[str] = None,
+               out_dir: str = "runs", epochs: Optional[int] = None,
+               export_path: Optional[str] = None,
+               synthetic_tracks: int = 20,
+               generation_dump: Optional[str] = None) -> Dict:
+    """Stage-1 MLLM LM fine-tune + generation eval
+    (ref scripts/check_generation.py flow, training included)."""
+    import dataclasses as dc
+    from tsue_tpu.models.fusion import MultiModalLLM
+    from tsue_tpu.train.checkpoint import save_pytree
+    from tsue_tpu.train.stage1 import (make_stage1_eval_step,
+                                       make_stage1_optimizer,
+                                       make_stage1_train_step)
+
+    seed_everything(cfg.train.seed)
+    out_dir = os.path.join(out_dir, f"stage1_{cfg.name}")
+    logger = MetricLogger(out_dir)
+    tokenizer = get_tokenizer()
+    dtr, dva, dte = prepare_data(cfg, data_path, tokenizer, synthetic_tracks)
+    llama_cfg = dc.replace(cfg.model.llama,
+                           vocab_size=tokenizer.vocab_size)
+    mllm = MultiModalLLM(llama=llama_cfg, qformer=cfg.model.qformer,
+                         use_vision=cfg.model.use_vision)
+    b0 = {k: jnp.asarray(v) for k, v in next(iter(_batches(dtr, cfg, False))).items()}
+    variables = mllm.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        b0["vision"], b0["input_ids"], b0["attention_mask"])
+    params = variables["params"]
+    tx = make_stage1_optimizer(cfg, params)
+    opt_state = tx.init(params)
+    step = jax.jit(make_stage1_train_step(mllm, tx))
+    ev = jax.jit(make_stage1_eval_step(mllm))
+    n_epochs = epochs if epochs is not None else cfg.train.epochs
+    for epoch in range(n_epochs):
+        tl, tn = 0.0, 0
+        for b in _batches(dtr, cfg, True, epoch):
+            b = {k: jnp.asarray(v) for k, v in b.items()}
+            params, opt_state, m = step(params, opt_state, b,
+                                        jax.random.key(epoch))
+            tl += float(m["lm_loss"]); tn += 1
+        vl = [float(ev(params, {k: jnp.asarray(v) for k, v in b.items()})["lm_loss"])
+              for b in _batches(dva, cfg, False)]
+        logger.log(epoch, lm_loss=tl / max(tn, 1),
+                   val_lm_loss=float(np.mean(vl)) if vl else float("nan"))
+    if export_path:
+        save_pytree(export_path, params)  # stage-2 consumes via import_mllm
+    out = {"final_lm_loss": tl / max(tn, 1) if n_epochs else float("nan")}
+    if generation_dump:
+        from tsue_tpu.eval.generation import distributed_generate_and_save
+        recs = distributed_generate_and_save(
+            mllm, {"params": params}, tokenizer, dte,
+            os.path.join(out_dir, generation_dump), jax.random.key(9),
+            max_new_tokens=48)
+        out["generated"] = len(recs)
+    logger.close()
+    return out

@@ -1,0 +1,75 @@
+"""Stage-1 MLLM fine-tuning: causal-LM loss over fused [img || text].
+
+The reference ships only the evaluation harness for this stage
+(ref scripts/check_generation.py; the training loop that produced
+``mllm_lora_ddp_finetuned.pt`` is not in the repo).  This module supplies
+the missing trainer with the same artifact contract: AdamW on the LoRA +
+Q-Former + modality embeddings (base Llama frozen), best-val checkpointing
+via ``export_mllm``-compatible params.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tsue_tpu.config import ExperimentConfig
+
+
+def stage1_freeze_label(path_strs, regime: str = "lora_only") -> str:
+    """Stage-1 default: train LoRA + everything outside the base Llama."""
+    in_llama = any(p == "llama" for p in path_strs)
+    is_lora = any("lora" in p for p in path_strs)
+    if regime == "joint":
+        return "train"
+    if in_llama and not is_lora:
+        return "freeze"
+    return "train"
+
+
+def make_stage1_optimizer(cfg: ExperimentConfig, params):
+    labels = jax.tree_util.tree_map_with_path(
+        lambda path, _: stage1_freeze_label(
+            tuple(str(getattr(p, "key", p)) for p in path)),
+        params)
+    inner = optax.chain(
+        optax.clip_by_global_norm(cfg.train.grad_clip or 1.0),
+        optax.adamw(cfg.train.lr, weight_decay=cfg.train.weight_decay))
+    tx = optax.multi_transform(
+        {"train": inner, "freeze": optax.set_to_zero()}, labels)
+    if cfg.train.nan_guard:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+    return tx
+
+
+def make_stage1_train_step(mllm, tx):
+    """(params, opt_state, batch, rng) -> (params, opt_state, metrics).
+
+    Loss = masked causal LM CE over [img-span(-100) || prompt(-100) ||
+    answer] (ref scripts/check_generation.py:131-150 semantics).
+    """
+    def loss_fn(params, batch, rng):
+        return mllm.apply(
+            {"params": params}, batch.get("vision"), batch["input_ids"],
+            batch["attention_mask"], batch["labels"], False,
+            rngs={"dropout": rng}, method=mllm.lm_loss)
+
+    def step(params, opt_state, batch: Dict, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"lm_loss": loss}
+
+    return step
+
+
+def make_stage1_eval_step(mllm):
+    def step(params, batch: Dict):
+        loss = mllm.apply(
+            {"params": params}, batch.get("vision"), batch["input_ids"],
+            batch["attention_mask"], batch["labels"], True,
+            method=mllm.lm_loss)
+        return {"lm_loss": loss}
+    return step
