@@ -1,0 +1,104 @@
+"""Pallas attention kernel: parity vs the XLA reference (interpret mode)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tsue_tpu.ops.attention import _xla_attention, dot_product_attention
+from tsue_tpu.ops.flash import flash_attention
+
+B, H, D = 2, 4, 64
+
+
+def _inputs(tq, tk, key=0):
+    ks = jax.random.split(jax.random.key(key), 3)
+    q = jax.random.normal(ks[0], (B, tq, H, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, tk, H, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, tk, H, D), jnp.float32)
+    return q, k, v
+
+
+@pytest.mark.parametrize("tq,tk", [(16, 16), (130, 130), (16, 48)])
+@pytest.mark.parametrize("causal", [False, True])
+def test_parity_full_mask(tq, tk, causal):
+    q, k, v = _inputs(tq, tk)
+    mask = jnp.ones((B, tk), jnp.int32)
+    ours = flash_attention(q, k, v, mask, is_causal=causal, interpret=True)
+    ref = _xla_attention(q, k, v, mask.astype(bool), causal, D ** -0.5)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_parity_padded_keys():
+    q, k, v = _inputs(32, 32, key=1)
+    mask = jnp.asarray(np.concatenate(
+        [np.ones((B, 20)), np.zeros((B, 12))], axis=1), jnp.int32)
+    ours = flash_attention(q, k, v, mask, interpret=True)
+    ref = _xla_attention(q, k, v, mask.astype(bool), False, D ** -0.5)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    # padded key content must not matter
+    k2 = k.at[:, 20:].set(999.0)
+    v2 = v.at[:, 20:].set(-999.0)
+    ours2 = flash_attention(q, k2, v2, mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ours2),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_bf16_inputs():
+    q, k, v = _inputs(64, 64, key=2)
+    q, k, v = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    mask = jnp.ones((B, 64), jnp.int32)
+    ours = flash_attention(q, k, v, mask, is_causal=True, interpret=True)
+    ref = _xla_attention(q, k, v, mask.astype(bool), True, D ** -0.5)
+    assert ours.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(ours, np.float32),
+                               np.asarray(ref, np.float32), atol=3e-2)
+
+
+def test_gradients_flow():
+    q, k, v = _inputs(24, 24, key=3)
+    mask = jnp.ones((B, 24), jnp.int32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, mask, is_causal=True,
+                                       interpret=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, mask.astype(bool), True,
+                                      D ** -0.5) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_attention_impl_switch():
+    from tsue_tpu.ops import attention as A
+    q, k, v = _inputs(16, 16, key=4)
+    ref = dot_product_attention(q, k, v, is_causal=True)
+    A.set_attention_impl("pallas")
+    try:
+        ours = dot_product_attention(q, k, v, is_causal=True)
+    finally:
+        A.set_attention_impl("xla")
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_gqa_via_entrypoint():
+    """dot_product_attention repeats KV heads before the kernel."""
+    from tsue_tpu.ops import attention as A
+    q = jax.random.normal(jax.random.key(5), (B, 16, 8, D))
+    k = jax.random.normal(jax.random.key(6), (B, 16, 2, D))
+    v = jax.random.normal(jax.random.key(7), (B, 16, 2, D))
+    ref = dot_product_attention(q, k, v, is_causal=True)
+    A.set_attention_impl("pallas")
+    try:
+        ours = dot_product_attention(q, k, v, is_causal=True)
+    finally:
+        A.set_attention_impl("xla")
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)

@@ -16,7 +16,9 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-_IMPL = "xla"  # switched to "pallas" by tsue_tpu.ops.flash when beneficial
+import os
+
+_IMPL = os.environ.get("TSUE_ATTENTION", "xla")  # "xla" | "pallas"
 
 
 def set_attention_impl(name: str):
