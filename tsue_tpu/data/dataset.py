@@ -35,7 +35,8 @@ class BatchIterator:
     def __init__(self, dataset: WindowedDataset, batch_size: int,
                  shuffle: bool = True, seed: int = 42,
                  process_index: int = 0, process_count: int = 1,
-                 drop_remainder: bool = False):
+                 drop_remainder: bool = False,
+                 group_by_track: bool = False):
         if batch_size % process_count != 0:
             raise ValueError(
                 f"process_count={process_count} must divide global "
@@ -48,6 +49,7 @@ class BatchIterator:
         self.process_index = process_index
         self.process_count = process_count
         self.drop_remainder = drop_remainder
+        self.group_by_track = group_by_track
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -63,7 +65,17 @@ class BatchIterator:
         n = len(self.ds)
         if n == 0:
             return
-        if self.shuffle:
+        if self.shuffle and self.group_by_track:
+            # TrackGroupSampler semantics (ref scripts/im_kim_train_GRN.py:
+            # 837-857): shuffle track groups, keep a track's windows
+            # contiguous in dataset order
+            rng = np.random.default_rng(self.seed + self.epoch)
+            tids = np.asarray(self.ds.track_id)
+            uniq = list(dict.fromkeys(tids.tolist()))  # first-seen order
+            order = rng.permutation(len(uniq))
+            perm = np.concatenate(
+                [np.nonzero(tids == uniq[g])[0] for g in order])
+        elif self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             perm = rng.permutation(n)
         else:
