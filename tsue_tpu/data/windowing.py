@@ -101,13 +101,47 @@ def _empty(cfg: DataConfig, text_len: int, vision_dim: int) -> WindowedDataset:
         track_id=zi(0))
 
 
+def _numpy_track_windows(raw: np.ndarray, cfg: DataConfig):
+    """NumPy fallback for the per-track window scan; yields
+    (start, in (2,T_in), out (2,T_out), stat (4,)) like the native path."""
+    n = raw.shape[0]
+    win = cfg.seq_len + cfg.out_len
+    out = []
+    for start in range(0, n - win + 1, cfg.stride):
+        sample = raw[start:start + win]
+        min_x, max_x = float(sample[:, 0].min()), float(sample[:, 0].max())
+        min_y, max_y = float(sample[:, 1].min()), float(sample[:, 1].max())
+        range_x = max_x - min_x
+        range_y = max_y - min_y
+        if range_x < cfg.min_range_x:
+            continue
+        if abs(range_x) < 1e-6:
+            range_x = 1.0
+        if abs(range_y) < 1e-6:
+            range_y = 1.0
+        norm = np.empty_like(sample)
+        norm[:, 0] = (sample[:, 0] - min_x) / range_x
+        norm[:, 1] = (sample[:, 1] - min_y) / range_y
+        out.append((start, np.ascontiguousarray(norm[:cfg.seq_len].T),
+                    np.ascontiguousarray(norm[cfg.seq_len:].T),
+                    np.array([min_x, max_x, min_y, max_y], np.float32)))
+    return out
+
+
 def build_windows(tracks: Sequence[dict], cfg: DataConfig,
-                  tokenizer=None) -> WindowedDataset:
+                  tokenizer=None, use_native: bool = True) -> WindowedDataset:
     """Build the sliding-window dataset from a list of track dicts.
 
     Mirrors ref scripts/train.py:114-259 filter-by-filter; see module
     docstring for the fixed-shape deltas.
+
+    ``use_native`` routes the numeric inner loops (abnormality scan +
+    window min/max/normalize) through the C++ library
+    (tsue_tpu/native, built from native/window_builder.cpp) when it is
+    available; outputs are bit-identical to the NumPy path (tested).
     """
+    from tsue_tpu import native
+    native_ok = use_native and native.available()
     vision_dim = cfg.vision_dim if cfg.use_vision else 1
     text_len = cfg.max_length if (cfg.use_text and tokenizer is not None) else 1
     P = cfg.max_polygon_points
@@ -138,9 +172,14 @@ def build_windows(tracks: Sequence[dict], cfg: DataConfig,
         if lane_str is None:
             continue
         polygon = get_polygon_from_lane_roi(lane_roi, lane_str)
-        if is_trajectory_abnormal(raw, lane_label=direction,
-                                  max_step=cfg.max_step,
-                                  max_speed_diff=cfg.max_speed_diff):
+        if native_ok:
+            abnormal = native.is_abnormal(raw, cfg.max_step,
+                                          cfg.max_speed_diff, direction)
+        else:
+            abnormal = is_trajectory_abnormal(
+                raw, lane_label=direction, max_step=cfg.max_step,
+                max_speed_diff=cfg.max_speed_diff)
+        if abnormal:
             continue
 
         n = raw.shape[0]
@@ -179,23 +218,18 @@ def build_windows(tracks: Sequence[dict], cfg: DataConfig,
             attn = np.ones((text_len,), dtype=np.int32)
             labels = np.full((text_len,), IGNORE_LABEL, dtype=np.int32)
 
-        for start in range(0, n - win + 1, cfg.stride):
-            sample = raw[start:start + win]
-            min_x, max_x = float(sample[:, 0].min()), float(sample[:, 0].max())
-            min_y, max_y = float(sample[:, 1].min()), float(sample[:, 1].max())
-            range_x = max_x - min_x
-            range_y = max_y - min_y
-            if range_x < cfg.min_range_x:
-                continue
-            if abs(range_x) < 1e-6:
-                range_x = 1.0
-            if abs(range_y) < 1e-6:
-                range_y = 1.0
-            norm = np.empty_like(sample)
-            norm[:, 0] = (sample[:, 0] - min_x) / range_x
-            norm[:, 1] = (sample[:, 1] - min_y) / range_y
-            rows["traj_in"].append(norm[:cfg.seq_len].T)     # (2, T_in)
-            rows["traj_out"].append(norm[cfg.seq_len:].T)    # (2, T_out)
+        if native_ok:
+            t_in, t_out, stats, starts = native.build_track_windows(
+                raw, cfg.seq_len, cfg.out_len, cfg.stride, cfg.min_range_x)
+            window_iter = [
+                (int(starts[w]), t_in[w], t_out[w], stats[w])
+                for w in range(len(starts))]
+        else:
+            window_iter = _numpy_track_windows(raw, cfg)
+
+        for start, w_in, w_out, stat in window_iter:
+            rows["traj_in"].append(w_in)                     # (2, T_in)
+            rows["traj_out"].append(w_out)                   # (2, T_out)
 
             if vis is not None:
                 v = vis[start:start + cfg.seq_len]
@@ -208,8 +242,7 @@ def build_windows(tracks: Sequence[dict], cfg: DataConfig,
             rows["vision"].append(v)
             rows["polygon"].append(poly_fixed)
             rows["polygon_len"].append(poly_len)
-            rows["norm_stat"].append(
-                np.array([min_x, max_x, min_y, max_y], dtype=np.float32))
+            rows["norm_stat"].append(np.asarray(stat, dtype=np.float32))
             rows["input_ids"].append(input_ids)
             rows["attention_mask"].append(attn)
             rows["labels"].append(labels)
