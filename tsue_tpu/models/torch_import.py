@@ -1,0 +1,183 @@
+"""Import the reference's torch MLLM checkpoint into the Flax tree.
+
+The stage-1 artifact ``mllm_lora_ddp_finetuned.pt`` (consumed at ref
+scripts/train.py:1137 with strict=True) is a torch ``state_dict`` of the
+reference's ``LlamaMultiModal`` module:
+
+  qformer.vision_proj.{weight,bias}
+  qformer.encoder.layers.{i}.self_attn.in_proj_{weight,bias}   (packed qkv)
+  qformer.encoder.layers.{i}.self_attn.out_proj.{weight,bias}
+  qformer.encoder.layers.{i}.linear1/linear2, norm1/norm2
+  qformer.query_tokens
+  qformer.decoder.layers.{i}.self_attn / multihead_attn / linear1/2 /
+                              norm1/norm2/norm3
+  q_proj.{weight,bias}
+  vision_modality_embedding / text_modality_embedding
+  llama_wrapper.llama_model.[base_model.model.]model.layers.{i}...
+      with PEFT names: q_proj.base_layer.weight, q_proj.lora_A.default.weight
+      (r,in), q_proj.lora_B.default.weight (out,r)
+
+This module converts those tensors to the tsue_tpu ``MultiModalLLM`` param
+layout so a reference user can carry their fine-tuned stage-1 checkpoint
+over.  LoRA: lora_a = lora_A.T (in,r), lora_b = lora_B.T (r,out); the
+no-LoRA surgery of ref scripts/ablation_study_without_lora.py:1070-1084 is
+just ``tsue_tpu.train.checkpoint.strip_lora`` after import.
+
+torch TransformerEncoder/DecoderLayer semantics (post-LN, ReLU) match
+tsue_tpu.models.layers.EncoderBlock/DecoderBlock; flax auto-names the two
+(three) LayerNorms LayerNorm_0/1(/2) and attention projections q/k/v/o —
+verified numerically in tests/test_torch_import.py.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Dict
+
+import numpy as np
+from flax import traverse_util
+
+
+def _np(t):
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().float().numpy()
+    return np.asarray(t, dtype=np.float32)
+
+
+def _j(prefix: str, rest: str) -> str:
+    return f"{prefix}.{rest}" if prefix else rest
+
+
+def _mha(sd: Dict, prefix: str, d_model: int, num_heads: int) -> Dict:
+    """torch nn.MultiheadAttention -> tsue MHA (q/k/v/o DenseGeneral)."""
+    dh = d_model // num_heads
+    out = {}
+    w = _np(sd[_j(prefix, "in_proj_weight")])          # (3d, d)
+    b = _np(sd[_j(prefix, "in_proj_bias")])            # (3d,)
+    for i, name in enumerate(("q", "k", "v")):
+        wi = w[i * d_model:(i + 1) * d_model]        # (d_out, d_in)
+        bi = b[i * d_model:(i + 1) * d_model]
+        out[name] = {"kernel": wi.T.reshape(d_model, num_heads, dh),
+                     "bias": bi.reshape(num_heads, dh)}
+    wo = _np(sd[_j(prefix, "out_proj.weight")])        # (d, d)
+    bo = _np(sd[_j(prefix, "out_proj.bias")])
+    out["o"] = {"kernel": wo.T.reshape(num_heads, dh, d_model), "bias": bo}
+    return out
+
+
+def _linear(sd, prefix):
+    out = {"kernel": _np(sd[_j(prefix, "weight")]).T}
+    if _j(prefix, "bias") in sd:
+        out["bias"] = _np(sd[_j(prefix, "bias")])
+    return out
+
+
+def _norm(sd, prefix):
+    return {"scale": _np(sd[_j(prefix, "weight")]),
+            "bias": _np(sd[_j(prefix, "bias")])}
+
+
+def _ffn(sd, prefix):
+    return {"Dense_0": _linear(sd, _j(prefix, "linear1")),
+            "Dense_1": _linear(sd, _j(prefix, "linear2"))}
+
+
+def convert_torch_encoder_layer(sd: Dict, prefix: str, d_model: int,
+                                num_heads: int) -> Dict:
+    """torch nn.TransformerEncoderLayer -> EncoderBlock params."""
+    return {
+        "MHA_0": _mha(sd, _j(prefix, "self_attn"), d_model, num_heads),
+        "FFN_0": _ffn(sd, prefix),
+        "LayerNorm_0": _norm(sd, _j(prefix, "norm1")),
+        "LayerNorm_1": _norm(sd, _j(prefix, "norm2")),
+    }
+
+
+def convert_torch_decoder_layer(sd: Dict, prefix: str, d_model: int,
+                                num_heads: int) -> Dict:
+    """torch nn.TransformerDecoderLayer -> DecoderBlock params."""
+    return {
+        "self_attn": _mha(sd, _j(prefix, "self_attn"), d_model, num_heads),
+        "cross_attn": _mha(sd, _j(prefix, "multihead_attn"), d_model,
+                           num_heads),
+        "FFN_0": _ffn(sd, prefix),
+        "LayerNorm_0": _norm(sd, _j(prefix, "norm1")),
+        "LayerNorm_1": _norm(sd, _j(prefix, "norm2")),
+        "LayerNorm_2": _norm(sd, _j(prefix, "norm3")),
+    }
+
+
+def convert_reference_qformer(sd: Dict, hidden: int, num_heads: int,
+                              enc_layers: int, dec_layers: int,
+                              prefix: str = "qformer") -> Dict:
+    out = {"vision_proj": _linear(sd, _j(prefix, "vision_proj")),
+           "query_tokens": _np(sd[_j(prefix, "query_tokens")])}
+    for i in range(enc_layers):
+        out[f"enc_{i}"] = convert_torch_encoder_layer(
+            sd, _j(prefix, f"encoder.layers.{i}"), hidden, num_heads)
+    for i in range(dec_layers):
+        out[f"dec_{i}"] = convert_torch_decoder_layer(
+            sd, _j(prefix, f"decoder.layers.{i}"), hidden, num_heads)
+    return out
+
+
+_PEFT_PREFIX_RE = re.compile(
+    r"^llama_wrapper\.llama_model\.(?:base_model\.model\.)?")
+
+
+def convert_reference_llama(sd: Dict, num_layers: int) -> Dict:
+    """PEFT/HF llama keys inside the reference mllm -> flax llama subtree."""
+    # strip wrapper prefixes and PEFT decorations to plain HF names
+    plain = {}
+    lora = {}
+    for k, v in sd.items():
+        m = _PEFT_PREFIX_RE.match(k)
+        if not m:
+            continue
+        k2 = k[m.end():]
+        if ".lora_A." in k2 or ".lora_B." in k2:
+            lora[k2] = v
+            continue
+        k2 = k2.replace(".base_layer.", ".")
+        plain[k2] = v
+    from tsue_tpu.models.llama_loader import convert_hf_state_dict
+    tree = convert_hf_state_dict(plain, num_layers)
+    # graft LoRA adapters
+    flat = traverse_util.flatten_dict(tree)
+    for k, v in lora.items():
+        m = re.match(r"model\.layers\.(\d+)\.self_attn\.(\w+_proj)\."
+                     r"lora_([AB])\.\w+\.weight", k)
+        if not m:
+            continue
+        i, proj, ab = int(m.group(1)), m.group(2), m.group(3)
+        name = "lora_a" if ab == "A" else "lora_b"
+        flat[("model", f"layer_{i}", "attn", proj, name)] = _np(v).T
+    return traverse_util.unflatten_dict(flat)
+
+
+def convert_reference_mllm(sd: Dict, qformer_cfg, llama_cfg) -> Dict:
+    """Full reference LlamaMultiModal state_dict -> MultiModalLLM params."""
+    out = {
+        "qformer": convert_reference_qformer(
+            sd, qformer_cfg.hidden_size, qformer_cfg.num_heads,
+            qformer_cfg.num_encoder_layers, qformer_cfg.num_decoder_layers),
+        "vision_modality_embedding": _np(sd["vision_modality_embedding"]),
+        "text_modality_embedding": _np(sd["text_modality_embedding"]),
+        "llama": convert_reference_llama(sd, llama_cfg.num_layers),
+    }
+    if "q_proj.weight" in sd:
+        out["q_proj"] = _linear(sd, "q_proj")
+    return out
+
+
+def merge_into(target_params: Dict, converted: Dict) -> Dict:
+    """Shape-checked merge of a converted subtree over an init tree."""
+    tgt = traverse_util.flatten_dict(target_params)
+    src = traverse_util.flatten_dict(converted)
+    for k, v in src.items():
+        if k not in tgt:
+            raise KeyError(f"imported key {k} missing in target")
+        if tuple(np.shape(tgt[k])) != tuple(np.shape(v)):
+            raise ValueError(f"shape mismatch at {k}: "
+                             f"{np.shape(tgt[k])} vs {np.shape(v)}")
+        tgt[k] = np.asarray(v, dtype=np.asarray(tgt[k]).dtype)
+    return traverse_util.unflatten_dict(tgt)
