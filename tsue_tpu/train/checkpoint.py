@@ -81,6 +81,33 @@ class BestCheckpointer:
 
 
 # ---------------------------------------------------------------------------
+# Full train-state save/resume (params + opt_state + step)
+# ---------------------------------------------------------------------------
+
+def save_train_state(path: str, state):
+    """Persist a TrainState for exact resume (the reference never saves
+    optimizer state or step — SURVEY.md §5 checkpoint gaps)."""
+    save_pytree(path, {"step": np.asarray(state.step),
+                       "params": state.params,
+                       "opt_state": state.opt_state})
+
+
+def restore_train_state(path: str, state):
+    """Restore into an existing TrainState template (same tx/apply_fn)."""
+    target = {"step": np.asarray(state.step), "params": state.params,
+              "opt_state": state.opt_state}
+    tree = restore_pytree(path, target=target)
+    return state.replace(step=jnp_asarray(tree["step"]),
+                         params=tree["params"],
+                         opt_state=tree["opt_state"])
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+    return jnp.asarray(x)
+
+
+# ---------------------------------------------------------------------------
 # Stage handoff + LoRA surgery
 # ---------------------------------------------------------------------------
 
