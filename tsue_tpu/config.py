@@ -59,6 +59,7 @@ class LlamaConfig:
     rope_original_max_position: int = 8192
     rms_norm_eps: float = 1e-5
     tie_word_embeddings: bool = True
+    remat: bool = False   # rematerialize each layer (memory <-> FLOPs)
     use_lora: bool = True
     lora_r: int = 8
     lora_alpha: float = 32.0

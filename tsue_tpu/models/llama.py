@@ -205,7 +205,13 @@ class LlamaModel(nn.Module):
         c = self.cfg
         self.embed_tokens = nn.Embed(c.vocab_size, c.hidden_size,
                                      name="embed_tokens")
-        self.layers = [LlamaLayer(c, self.dtype, name=f"layer_{i}")
+        layer_cls = LlamaLayer
+        if c.remat:
+            # trade recompute for activation memory (jax.checkpoint per
+            # layer) — lets the 1B model train long sequences on one chip
+            # static_argnums counts self at 0: deterministic is arg 5
+            layer_cls = nn.remat(LlamaLayer, static_argnums=(5,))
+        self.layers = [layer_cls(c, self.dtype, name=f"layer_{i}")
                        for i in range(c.num_layers)]
         self.final_norm = RMSNorm(c.rms_norm_eps, name="final_norm")
         self._inv_freq = rope_inv_freq(c)

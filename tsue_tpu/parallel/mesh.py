@@ -61,3 +61,21 @@ def replicate(tree, mesh: Mesh):
 def is_primary() -> bool:
     """Rank-0 gating (ref ``local_rank==0``, scripts/train.py:1219)."""
     return jax.process_index() == 0
+
+
+def initialize_distributed():
+    """Multi-host init (replaces torchrun + dist.init_process_group,
+    ref scripts/train.py:1044-1049).  On TPU pods jax.distributed picks up
+    the environment automatically; safe no-op when already initialized or
+    single-host."""
+    try:
+        jax.distributed.initialize()
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process
+
+
+def barrier(name: str = "barrier"):
+    """Cross-process sync (ref dist.barrier, check_generation.py:369)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)
