@@ -107,12 +107,14 @@ def distributed_generate_and_save(mllm, variables, tokenizer, dataset,
                                   out_path: str, rng,
                                   batch_size: int = 8,
                                   max_new_tokens: int = 128,
-                                  cfg: Optional[SamplingConfig] = None):
+                                  cfg: Optional[SamplingConfig] = None,
+                                  reference_texts: Optional[dict] = None):
     """Multi-process generation eval (ref check_generation.py:331-369).
 
     Each process generates for its shard; results are gathered to process 0
-    which writes generated-vs-reference pairs.  Single-process it just runs
-    everything locally.
+    which writes generated-vs-reference pairs (``reference_texts`` maps
+    track_id -> ground-truth context, ref :361-368).  Single-process it
+    just runs everything locally.
     """
     import jax
     from tsue_tpu.data.dataset import BatchIterator
@@ -155,11 +157,16 @@ def distributed_generate_and_save(mllm, variables, tokenizer, dataset,
             ids = [int(t) for t in row if t != tokenizer.pad_id]
             if tokenizer.eos_id in ids:
                 ids = ids[:ids.index(tokenizer.eos_id)]
-            records.append({"track_id": int(tid),
-                            "generated": postprocess_text(
-                                tokenizer.decode(ids))})
+            rec = {"track_id": int(tid),
+                   "generated": postprocess_text(tokenizer.decode(ids))}
+            if reference_texts is not None:
+                rec["reference"] = reference_texts.get(int(tid), "")
+            records.append(rec)
         with open(out_path, "w") as f:
             for rec in records:
                 f.write(f"[track {rec['track_id']}]\n"
-                        f"GENERATED: {rec['generated']}\n\n")
+                        f"GENERATED: {rec['generated']}\n")
+                if "reference" in rec:
+                    f.write(f"REFERENCE: {rec['reference']}\n")
+                f.write("\n")
     return records

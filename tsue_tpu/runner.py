@@ -37,7 +37,7 @@ from tsue_tpu.utils import MetricLogger, seed_everything
 
 def prepare_data(cfg: ExperimentConfig, data_path: Optional[str],
                  tokenizer, synthetic_tracks: int = 40,
-                 synthetic_len: int = 600):
+                 synthetic_len: int = 600, return_tracks: bool = False):
     """pickle -> sanity -> seeded split -> windows; synthetic fallback."""
     if data_path and os.path.exists(data_path):
         tracks = load_tracks(data_path)
@@ -52,9 +52,12 @@ def prepare_data(cfg: ExperimentConfig, data_path: Optional[str],
     tr, va, te = split_tracks(tracks, cfg.data.train_ratio,
                               cfg.data.val_ratio, cfg.data.test_ratio,
                               seed=cfg.data.split_seed)
-    return (build_windows(tr, cfg.data, tokenizer),
-            build_windows(va, cfg.data, tokenizer),
-            build_windows(te, cfg.data, tokenizer))
+    out = (build_windows(tr, cfg.data, tokenizer),
+           build_windows(va, cfg.data, tokenizer),
+           build_windows(te, cfg.data, tokenizer))
+    if return_tracks:
+        return out + ((tr, va, te),)
+    return out
 
 
 def _batches(ds, cfg, shuffle, epoch=0, batch_size=None):
@@ -70,7 +73,8 @@ def run_stage2(cfg: ExperimentConfig, data_path: Optional[str] = None,
                out_dir: str = "runs", mllm_ckpt: Optional[str] = None,
                epochs: Optional[int] = None, eval_candidates: int = 0,
                save_viz: bool = True, synthetic_tracks: int = 40,
-               restore_ckpt: Optional[str] = None) -> Dict:
+               restore_ckpt: Optional[str] = None,
+               viz_every: int = 0) -> Dict:
     """Full stage-2 pipeline.  Returns final metrics dict."""
     seed_everything(cfg.train.seed)
     out_dir = os.path.join(out_dir, cfg.name)
@@ -128,6 +132,21 @@ def run_stage2(cfg: ExperimentConfig, data_path: Optional[str] = None,
             val_loss = vl / max(vn, 1)
             logger.log(epoch, train_loss=train_loss, val_loss=val_loss)
             ckpt.maybe_save(val_loss, state.params)
+
+            # per-epoch qualitative sample (ref train.py:1226-1247, T7)
+            if viz_every and epoch % viz_every == 0 and is_primary() \
+                    and len(dva):
+                from tsue_tpu.viz import plot_one_sample
+                vb = next(iter(_batches(dva, cfg, False)))
+                vb = {k: jnp.asarray(v) for k, v in vb.items()}
+                pred = eval_step(state, vb)["pred"]
+                ns = vb["norm_stat"]
+                plot_one_sample(
+                    np.asarray(denorm(vb["traj_in"], ns))[0],
+                    np.asarray(denorm(vb["traj_out"], ns))[0],
+                    np.asarray(denorm(pred, ns))[0],
+                    os.path.join(out_dir, "viz"),
+                    prefix=f"epoch{epoch:04d}")
 
         # restore best before test (ref train.py:1249-1252)
         if n_epochs > 0 and ckpt.best_val < float("inf"):
@@ -409,7 +428,8 @@ def run_stage1(cfg: ExperimentConfig, data_path: Optional[str] = None,
     out_dir = os.path.join(out_dir, f"stage1_{cfg.name}")
     logger = MetricLogger(out_dir)
     tokenizer = get_tokenizer()
-    dtr, dva, dte = prepare_data(cfg, data_path, tokenizer, synthetic_tracks)
+    dtr, dva, dte, raw = prepare_data(cfg, data_path, tokenizer,
+                                      synthetic_tracks, return_tracks=True)
     llama_cfg = dc.replace(cfg.model.llama,
                            vocab_size=tokenizer.vocab_size)
     mllm = MultiModalLLM(llama=llama_cfg, qformer=cfg.model.qformer,
@@ -440,10 +460,17 @@ def run_stage1(cfg: ExperimentConfig, data_path: Optional[str] = None,
     out = {"final_lm_loss": tl / max(tn, 1) if n_epochs else float("nan")}
     if generation_dump:
         from tsue_tpu.eval.generation import distributed_generate_and_save
+        refs = {}
+        for t in raw[2]:
+            tid = t.get("track_id", t.get("id", -1))
+            try:
+                refs[int(tid)] = t.get("context_str", "")
+            except (TypeError, ValueError):
+                pass
         recs = distributed_generate_and_save(
             mllm, {"params": params}, tokenizer, dte,
             os.path.join(out_dir, generation_dump), jax.random.key(9),
-            max_new_tokens=48)
+            max_new_tokens=48, reference_texts=refs)
         out["generated"] = len(recs)
     logger.close()
     return out
