@@ -137,6 +137,36 @@ def make_eval_step(cfg: ExperimentConfig):
     return step
 
 
+def stack_epoch_batches(iterator) -> Dict:
+    """Materialize one epoch of batches as a stacked device pytree
+    (num_batches leading axis) for ``make_scan_epoch``."""
+    import numpy as np
+    batches = list(iterator)
+    return {k: jnp.asarray(np.stack([b[k] for b in batches]))
+            for k in batches[0]}
+
+
+def make_scan_epoch(cfg: ExperimentConfig):
+    """Whole-epoch training as ONE compiled lax.scan over batches.
+
+    For the small (no-LLM / baseline-scale) models the per-step dispatch
+    dominates on TPU (~ms-scale steps through the runtime); scanning the
+    epoch removes every host round-trip (SURVEY.md §7 throughput levers:
+    'single-program full-epoch scan').  Semantically identical to the
+    Python loop (same per-step rng folding via state.step) — tested.
+    """
+    step = make_train_step(cfg)
+
+    def epoch(state: TrainState, batches: Dict, rng: jax.Array):
+        def body(st, batch):
+            st, m = step(st, batch, rng)
+            return st, m["loss"]
+        state, losses = jax.lax.scan(body, state, batches)
+        return state, losses
+
+    return epoch
+
+
 @dataclasses.dataclass
 class Trainer:
     """Epoch-level orchestration: train/val loops, best-val tracking.
