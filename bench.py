@@ -147,4 +147,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # transient tunnel/TPU hiccups: one retry
+        log(f"bench attempt failed ({type(e).__name__}: {e}); retrying once")
+        time.sleep(20)
+        main()
