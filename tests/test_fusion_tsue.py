@@ -132,8 +132,8 @@ class TestFullTSUE:
             train=TrainConfig(batch_size=4, lr=1e-2,
                               freeze_regime="frozen_mllm"))
         tx = make_optimizer(cfg, vs["params"])
-        apply_fn = lambda v, bb, det, rngs=None: model.apply(
-            {"params": v["params"]}, bb, det, rngs=rngs)
+        apply_fn = lambda v, bb, det, rngs=None, **kw: model.apply(
+            {"params": v["params"]}, bb, det, rngs=rngs, **kw)
         state = TrainState.create(apply_fn, vs["params"], tx)
         step = jax.jit(make_train_step(cfg))
         new_state, m = step(state, b, jax.random.key(0))

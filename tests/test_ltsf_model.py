@@ -161,7 +161,7 @@ class TestFreezeRegimes:
         params["mllm"] = {"w": jnp.ones((4, 4))}
         tx = make_optimizer(cfg, params)
 
-        def apply_fn(vs, b, det, rngs=None):
+        def apply_fn(vs, b, det, rngs=None, **kw):
             inner = {k: v for k, v in vs["params"].items() if k != "mllm"}
             out = model.apply({"params": inner}, b, det, rngs=rngs)
             # touch the fake param so it gets a grad
@@ -188,7 +188,7 @@ class TestTrainingSlice:
         b0 = {k: jnp.asarray(v) for k, v in next(iter(it)).items()}
         model, variables = _init(cfg, b0)
 
-        def apply_fn(vs, b, det, rngs=None):
+        def apply_fn(vs, b, det, rngs=None, **kw):
             return model.apply(vs, b, det, rngs=rngs)
 
         tx = make_optimizer(cfg, variables["params"])
@@ -208,7 +208,7 @@ class TestTrainingSlice:
         cfg = _cfg()
         model, variables = _init(cfg, batch)
 
-        def apply_fn(vs, b, det, rngs=None):
+        def apply_fn(vs, b, det, rngs=None, **kw):
             return model.apply(vs, b, det, rngs=rngs)
 
         tx = make_optimizer(cfg, variables["params"])

@@ -25,7 +25,7 @@ def _setup(small_windows):
     model = TrajectoryModel(CFG.model, 6, 6)
     vs = model.init({"params": jax.random.key(0),
                      "dropout": jax.random.key(1)}, batches[0], False)
-    apply_fn = lambda v, b, det, rngs=None: model.apply(v, b, det, rngs=rngs)
+    apply_fn = lambda v, b, det, rngs=None, **kw: model.apply(v, b, det, rngs=rngs, **kw)
     tx = make_optimizer(CFG, vs["params"])
     state = TrainState.create(apply_fn, vs["params"], tx)
     step = jax.jit(make_train_step(CFG))

@@ -30,8 +30,8 @@ class TestScanEpoch:
         b0 = {k: jnp.asarray(v) for k, v in next(iter(it)).items()}
         vs = model.init({"params": jax.random.key(0),
                          "dropout": jax.random.key(1)}, b0, False)
-        apply_fn = lambda v, b, det, rngs=None: model.apply(v, b, det,
-                                                            rngs=rngs)
+        apply_fn = lambda v, b, det, rngs=None, **kw: model.apply(v, b, det,
+                                                                 rngs=rngs, **kw)
         tx = make_optimizer(CFG, vs["params"])
         rng = jax.random.key(9)
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -63,8 +64,17 @@ class TrajectoryModel(nn.Module):
             cross_dim=cfg.llama.hidden_size, cross_nhead=cfg.ltsf.cross_nhead,
             use_cross_attn=cfg.use_llm, name="ltsf")
 
-    def encode_context(self, batch: dict, deterministic: bool = True):
-        """(final_hidden, hidden_mask, poly_emb) — the per-batch context."""
+    def encode_context(self, batch: dict, deterministic: bool = True,
+                       stop_llm_grad: bool = False):
+        """(final_hidden, hidden_mask, poly_emb) — the per-batch context.
+
+        ``stop_llm_grad=True`` severs the gradient at the MLLM output: in
+        the frozen-MLLM regime (ref scripts/train.py:1141-1142) the
+        reference still backprops through the 1B Llama and throws the
+        grads away (hence DDP find_unused_parameters); stopping here skips
+        that entire backward — pure training-throughput win at identical
+        updates (tested).
+        """
         poly_emb = self.lane_encoder(batch["polygon"], batch["polygon_len"],
                                      deterministic)
         final_hidden, hidden_mask = None, None
@@ -74,6 +84,8 @@ class TrajectoryModel(nn.Module):
                 input_ids=batch["input_ids"],
                 attention_mask=batch["attention_mask"],
                 deterministic=deterministic)
+            if stop_llm_grad:
+                final_hidden = jax.lax.stop_gradient(final_hidden)
         return final_hidden, hidden_mask, poly_emb
 
     def forecast(self, batch: dict, final_hidden, hidden_mask, poly_emb,
@@ -84,9 +96,10 @@ class TrajectoryModel(nn.Module):
                          deterministic)
         return pred + x[:, :, -1:]
 
-    def __call__(self, batch: dict, deterministic: bool = True):
+    def __call__(self, batch: dict, deterministic: bool = True,
+                 stop_llm_grad: bool = False):
         """batch -> pred (B, 2, out_len) in normalized coords."""
         final_hidden, hidden_mask, poly_emb = self.encode_context(
-            batch, deterministic)
+            batch, deterministic, stop_llm_grad)
         return self.forecast(batch, final_hidden, hidden_mask, poly_emb,
                              deterministic)

@@ -104,8 +104,8 @@ def run_stage2(cfg: ExperimentConfig, data_path: Optional[str] = None,
         from tsue_tpu.train.checkpoint import restore_pytree
         params = restore_pytree(restore_ckpt, target=params)
 
-    def apply_fn(vs, b, det, rngs=None):
-        return model.apply(vs, b, det, rngs=rngs)
+    def apply_fn(vs, b, det, rngs=None, **kw):
+        return model.apply(vs, b, det, rngs=rngs, **kw)
 
     tx = make_optimizer(cfg, params)
     state = TrainState.create(apply_fn, params, tx)

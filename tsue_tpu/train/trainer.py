@@ -108,12 +108,18 @@ def make_optimizer(cfg: ExperimentConfig, params) -> optax.GradientTransformatio
 # ---------------------------------------------------------------------------
 
 def make_train_step(cfg: ExperimentConfig):
-    """Returns a jit-able (state, batch, rng) -> (state, metrics)."""
+    """Returns a jit-able (state, batch, rng) -> (state, metrics).
+
+    In the frozen-MLLM regime gradients are stopped at the MLLM output
+    (the whole mllm subtree is frozen, so no trainable param needs the
+    LLM backward) — the apply_fn must accept stop_llm_grad as a kwarg.
+    """
+    stop_llm = cfg.train.freeze_regime == "frozen_mllm" and cfg.model.use_llm
 
     def loss_fn(params, state, batch, rng):
         pred = state.apply_fn(
             {"params": params}, batch, False,
-            rngs={"dropout": rng})
+            rngs={"dropout": rng}, stop_llm_grad=stop_llm)
         loss = denorm_mse_loss(pred, batch["traj_out"], batch["norm_stat"],
                                batch.get("valid"))
         return loss, pred
