@@ -12,6 +12,15 @@ Training still differentiates through attention: ``flash_attention`` is a
 ``jax.custom_vjp`` whose backward recomputes gradients with the XLA
 formulation (correct, and the bwd was HBM-bound either way).
 
+Measured role (v5e-1, Llama-1B dims, bf16, text 512): inference speed is a
+wash vs XLA (attention is ~8% of FLOPs), but TRAINING MEMORY is decisive —
+the XLA path saves (B, H, T, T) fp32 logit residuals per layer for the
+backward (16 x 660 MB at bs16) and OOMs the 16 GB chip on any full-backward
+regime (joint / lora_only / full_freeze); with this kernel (no saved
+logits; bwd recomputes transiently) + per-layer remat, the joint 1B train
+step fits and runs at ~320 ms (bs8).  Enable via TSUE_ATTENTION=pallas or
+set_attention_impl("pallas") together with LlamaConfig(remat=True).
+
 Kernel-shape policy mirrors the pallas guide: last dim 128-aligned via
 head_dim padding by the caller (Llama head_dim=64 is fine as the minor-most
 dim of (8,128)-tiled fp32 blocks), q blocked at 128 rows, edge blocks
@@ -125,7 +134,8 @@ def _flash_bwd(scale, is_causal, interpret, res, g):
     q, k, v, mask = res
     _, vjp = jax.vjp(lambda q_, k_, v_: _xla_ref(q_, k_, v_, mask, scale,
                                                  is_causal), q, k, v)
-    dq, dk, dv = vjp(g)
+    # upstream may hand a higher-precision cotangent than the bf16 output
+    dq, dk, dv = vjp(g.astype(v.dtype))
     return dq, dk, dv, None
 
 
