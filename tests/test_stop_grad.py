@@ -71,3 +71,12 @@ def test_trainable_grads_identical_mllm_grads_zero(setup):
     some = [np.abs(np.asarray(v)).max() for k, v in f_full.items()
             if "mllm" in k]
     assert max(some) > 0
+
+
+def test_fast_candidate_rollout(setup):
+    from tsue_tpu.eval.metrics import fast_candidate_rollout
+    model, vs, b = setup
+    cands = fast_candidate_rollout(model, vs, b, 4, jax.random.key(2))
+    assert cands.shape == (4, 4, 2, 6)
+    # forecaster dropout diversifies candidates
+    assert not np.allclose(np.asarray(cands[:, 0]), np.asarray(cands[:, 1]))

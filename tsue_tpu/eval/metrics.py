@@ -40,7 +40,7 @@ def ade_fde(pred: jnp.ndarray, target: jnp.ndarray, norm_stat: jnp.ndarray,
 
 def candidate_rollout(apply_fn: Callable, variables, batch: Dict,
                       num_candidates: int, rng: jax.Array) -> jnp.ndarray:
-    """K stochastic forwards as one vmap over dropout keys.
+    """K stochastic forwards as one vmap over dropout keys (strict parity).
 
     ``apply_fn(variables, batch, deterministic, rngs)`` must return
     (B, 2, T).  Returns (B, K, 2, T).  Explicit per-candidate keys replace
@@ -54,6 +54,25 @@ def candidate_rollout(apply_fn: Callable, variables, batch: Dict,
 
     preds = jax.vmap(one)(keys)               # (K, B, 2, T)
     return jnp.swapaxes(preds, 0, 1)          # (B, K, 2, T)
+
+
+def fast_candidate_rollout(model, variables, batch: Dict,
+                           num_candidates: int, rng: jax.Array) -> jnp.ndarray:
+    """Fast mode: the deterministic MLLM context is computed ONCE, only the
+    stochastic forecaster is vmapped over K dropout keys (~9x fewer LLM
+    FLOPs than strict parity; candidate diversity comes from the forecaster
+    dropout, the part whose stochasticity drives the K-candidate metrics).
+    model must be a TrajectoryModel (encode_context/forecast split)."""
+    keys = jax.random.split(rng, num_candidates)
+    hidden, mask, poly = model.apply(variables, batch, True,
+                                     method=model.encode_context)
+
+    def one(key):
+        return model.apply(variables, batch, hidden, mask, poly, False,
+                           method=model.forecast, rngs={"dropout": key})
+
+    preds = jax.vmap(one)(keys)
+    return jnp.swapaxes(preds, 0, 1)
 
 
 def min_ade_fde_rmse(cands: jnp.ndarray, target: jnp.ndarray,

@@ -25,7 +25,8 @@ from tsue_tpu.config import ExperimentConfig, get_preset
 from tsue_tpu.data import (BatchIterator, build_windows, check_data_sanity,
                            get_tokenizer, make_synthetic_tracks, split_tracks)
 from tsue_tpu.data.schema import load_tracks
-from tsue_tpu.eval.metrics import ade_fde, candidate_rollout, min_ade_fde_rmse
+from tsue_tpu.eval.metrics import (ade_fde, candidate_rollout,
+                                   fast_candidate_rollout, min_ade_fde_rmse)
 from tsue_tpu.models.tsue import TrajectoryModel
 from tsue_tpu.parallel.mesh import is_primary, make_mesh, shard_batch
 from tsue_tpu.train.checkpoint import BestCheckpointer, import_mllm
@@ -74,7 +75,7 @@ def run_stage2(cfg: ExperimentConfig, data_path: Optional[str] = None,
                epochs: Optional[int] = None, eval_candidates: int = 0,
                save_viz: bool = True, synthetic_tracks: int = 40,
                restore_ckpt: Optional[str] = None,
-               viz_every: int = 0) -> Dict:
+               viz_every: int = 0, candidate_mode: str = "fast") -> Dict:
     """Full stage-2 pipeline.  Returns final metrics dict."""
     seed_everything(cfg.train.seed)
     out_dir = os.path.join(out_dir, cfg.name)
@@ -154,15 +155,22 @@ def run_stage2(cfg: ExperimentConfig, data_path: Optional[str] = None,
 
         # test: ADE/FDE and optional K-candidate metrics
         metrics = evaluate(model, state.params, dte, cfg, mesh,
-                           eval_candidates, out_dir if save_viz else None)
+                           eval_candidates, out_dir if save_viz else None,
+                           candidate_mode)
     logger.log(n_epochs, **metrics)
     logger.close()
     return metrics
 
 
 def evaluate(model, params, dte, cfg, mesh, eval_candidates: int = 0,
-             viz_dir: Optional[str] = None) -> Dict:
-    """Test loop (ref train.py:1256-1328 / test.py:1279-1396)."""
+             viz_dir: Optional[str] = None,
+             candidate_mode: str = "fast") -> Dict:
+    """Test loop (ref train.py:1256-1328 / test.py:1279-1396).
+
+    candidate_mode: "fast" computes the MLLM context once per batch and
+    vmaps only the stochastic forecaster; "parity" vmaps the whole
+    stochastic model like the reference's train()-mode forwards.
+    """
     ades, fdes, mins = [], [], []
     first_batch = None
     first_pred = None
@@ -170,6 +178,9 @@ def evaluate(model, params, dte, cfg, mesh, eval_candidates: int = 0,
     apply_det = jax.jit(lambda p, b: model.apply({"params": p}, b, True))
 
     def cand_fn(p, b, rng):
+        if candidate_mode == "fast" and getattr(model.cfg, "use_llm", False):
+            return fast_candidate_rollout(model, {"params": p}, b,
+                                          eval_candidates, rng)
         return candidate_rollout(
             lambda v, bb, det, rngs: model.apply(v, bb, det, rngs=rngs),
             {"params": p}, b, eval_candidates, rng)
