@@ -35,6 +35,9 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
                    help="tiny model config (smoke runs / no TPU)")
     p.add_argument("--platform", default=None, choices=("cpu", "axon"),
                    help="force a JAX platform (default: environment)")
+    p.add_argument("--tokenizer", default=None,
+                   help="local HF tokenizer path/name (byte tokenizer if "
+                        "unset or unavailable)")
     return p
 
 

@@ -10,7 +10,6 @@ reference (e.g. ref scripts/train.py:662, 793-798).
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

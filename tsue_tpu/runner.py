@@ -75,12 +75,13 @@ def run_stage2(cfg: ExperimentConfig, data_path: Optional[str] = None,
                epochs: Optional[int] = None, eval_candidates: int = 0,
                save_viz: bool = True, synthetic_tracks: int = 40,
                restore_ckpt: Optional[str] = None,
-               viz_every: int = 0, candidate_mode: str = "fast") -> Dict:
+               viz_every: int = 0, candidate_mode: str = "fast",
+               tokenizer_path: Optional[str] = None) -> Dict:
     """Full stage-2 pipeline.  Returns final metrics dict."""
     seed_everything(cfg.train.seed)
     out_dir = os.path.join(out_dir, cfg.name)
     logger = MetricLogger(out_dir)
-    tokenizer = get_tokenizer()
+    tokenizer = get_tokenizer(tokenizer_path)
     dtr, dva, dte = prepare_data(cfg, data_path, tokenizer, synthetic_tracks)
     if is_primary():
         print(f"windows: train={len(dtr)} val={len(dva)} test={len(dte)}")
@@ -99,6 +100,9 @@ def run_stage2(cfg: ExperimentConfig, data_path: Optional[str] = None,
     variables = model.init({"params": jax.random.key(cfg.train.seed),
                             "dropout": jax.random.key(1)}, b0, False)
     params = variables["params"]
+    if cfg.model.dtype == "bfloat16":
+        from tsue_tpu.utils.precision import cast_params
+        params = cast_params(params)
     if mllm_ckpt:
         params = import_mllm(params, mllm_ckpt)  # stage-1 handoff (T1)
     if restore_ckpt:  # eval-only flows (ref test.py:1273-1276)

@@ -13,14 +13,12 @@ Replaces the reference's per-script DDP loops (ref scripts/train.py:1044-1328):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 from tsue_tpu.config import ExperimentConfig
 from tsue_tpu.train.losses import denorm_mse_loss
