@@ -131,9 +131,16 @@ def distributed_generate_and_save(mllm, variables, tokenizer, dataset,
             gen = make_generate_fn(mllm, cfg, max_new_tokens,
                                    batch["input_ids"].shape[1],
                                    tokenizer.eos_id, tokenizer.pad_id)
+        # condition on the PROMPT only: dataset rows hold prompt+answer;
+        # the answer span is exactly where labels != -100
+        # (ref check_generation.py generates from the prompt alone)
+        prompt_mask = np.asarray(batch["attention_mask"])
+        if "labels" in batch:
+            prompt_mask = prompt_mask * (np.asarray(batch["labels"]) == -100)
+        ids = np.asarray(batch["input_ids"]) * prompt_mask
         out = gen(variables, jnp.asarray(batch["vision"]),
-                  jnp.asarray(batch["input_ids"]),
-                  jnp.asarray(batch["attention_mask"]),
+                  jnp.asarray(ids, np.int32),
+                  jnp.asarray(prompt_mask, np.int32),
                   jax.random.fold_in(rng, i))
         tids.append(np.asarray(batch["track_id"]))
         rows.append(np.asarray(out))

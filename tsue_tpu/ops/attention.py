@@ -30,6 +30,27 @@ def get_attention_impl() -> str:
     return _IMPL
 
 
+class attention_impl:
+    """Scoped implementation switch:
+
+        with attention_impl("pallas"):
+            train_step(...)
+    """
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __enter__(self):
+        global _IMPL
+        self.prev = _IMPL
+        set_attention_impl(self.name)
+        return self
+
+    def __exit__(self, *exc):
+        set_attention_impl(self.prev)
+        return False
+
+
 def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           mask: Optional[jnp.ndarray] = None,
                           is_causal: bool = False,

@@ -316,6 +316,19 @@ def run_baseline(name: str, cfg: ExperimentConfig,
         m = np.mean(mins, axis=0)
         out.update(min_ade=float(m[0]), min_fde=float(m[1]),
                    min_rmse=float(m[2]), K=eval_candidates)
+    if eval_candidates and is_primary() and len(dte):
+        # candidate visualization (ref test_baseline_stgcnn.py:342-489)
+        from tsue_tpu.viz import plot_candidates
+        b = {k: jnp.asarray(v)
+             for k, v in next(iter(_batches(dte, cfg, False))).items()}
+        cands = eval_fn(variables, b, jax.random.key(99), eval_candidates)
+        ns = b["norm_stat"]
+        K = eval_candidates
+        cd = np.asarray(denorm(cands[0], jnp.repeat(ns[:1], K, axis=0)))
+        plot_candidates(np.asarray(denorm(b["traj_in"], ns))[0],
+                        np.asarray(denorm(b["traj_out"], ns))[0],
+                        cd, os.path.join(out_dir, "viz"),
+                        prefix=f"{name}_candidates")
     logger.log(n_epochs, **out)
     logger.close()
     return out
