@@ -208,6 +208,18 @@ def evaluate(model, params, dte, cfg, mesh, eval_candidates: int = 0,
             first_batch = {k: np.asarray(v) for k, v in batch.items()}
             first_pred = np.asarray(pred)
 
+    # multi-process: each process measured its own data shard; average the
+    # per-process means so rank-0 logs global metrics (the reference runs
+    # its test loop on rank 0 only, ref train.py:1255)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        ades = list(np.ravel(multihost_utils.process_allgather(
+            np.asarray(ades, np.float32))))
+        fdes = list(np.ravel(multihost_utils.process_allgather(
+            np.asarray(fdes, np.float32))))
+        if mins:
+            mins = list(np.concatenate(multihost_utils.process_allgather(
+                np.asarray(mins, np.float32))))
     out = {"test_ade": float(np.mean(ades)) if ades else float("nan"),
            "test_fde": float(np.mean(fdes)) if fdes else float("nan")}
     if mins:
