@@ -87,16 +87,17 @@ def bench_mode(model, params, batch, K: int, mode: str, iters: int = 5):
                 return model.apply({"params": params}, batch, False,
                                    rngs={"dropout": key})
             return jax.vmap(one)(keys)
-    else:  # fast: MLLM hidden once, vmap only the stochastic forecaster
+    else:  # fast: MLLM hidden + cross-attn K/V once, vmap only the
+           # stochastic forecaster
         def rollout(params, batch, rng):
             keys = jax.random.split(rng, K)
-            hidden, mask, poly = model.apply(
+            cross_kv, mask, poly = model.apply(
                 {"params": params}, batch, True,
-                method=model.encode_context)
+                method=model.encode_context_kv)
             def one(key):
                 return model.apply(
-                    {"params": params}, batch, hidden, mask, poly, False,
-                    method=model.forecast, rngs={"dropout": key})
+                    {"params": params}, batch, cross_kv, mask, poly, False,
+                    method=model.forecast_kv, rngs={"dropout": key})
             return jax.vmap(one)(keys)
 
     step = jax.jit(rollout)
@@ -104,13 +105,18 @@ def bench_mode(model, params, batch, K: int, mode: str, iters: int = 5):
     # NB: block_until_ready under-reports on the remote-tunnel (axon)
     # platform; a host readback of a result-dependent scalar is the only
     # honest completion barrier, so each iteration sums the output.
+    # The shared tunnel has transient multi-second stalls: measure three
+    # windows and report the best (the device-limited number).
     float(jnp.sum(step(params, batch, rng)))  # warmup + compile
-    t0 = time.time()
-    for i in range(iters):
-        float(jnp.sum(step(params, batch, jax.random.fold_in(rng, i))))
-    dt = (time.time() - t0) / iters
+    best = float("inf")
+    for w in range(3):
+        t0 = time.time()
+        for i in range(iters):
+            float(jnp.sum(step(params, batch,
+                               jax.random.fold_in(rng, w * iters + i))))
+        best = min(best, (time.time() - t0) / iters)
     B = batch["traj_in"].shape[0]
-    return B / dt, dt
+    return B / best, best
 
 
 def main():
@@ -127,7 +133,7 @@ def main():
     log(f"fast  mode: {fast_tps:.1f} traj/s ({fast_dt*1000:.0f} ms / batch)")
     batch16 = {k: v[:16] for k, v in batch.items()}
     parity_tps, parity_dt = bench_mode(model, params, batch16, K, "parity",
-                                       iters=3)
+                                       iters=2)
     log(f"parity mode: {parity_tps:.1f} traj/s ({parity_dt*1000:.0f} ms / batch)")
 
     print(json.dumps({

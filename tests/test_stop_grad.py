@@ -80,3 +80,19 @@ def test_fast_candidate_rollout(setup):
     assert cands.shape == (4, 4, 2, 6)
     # forecaster dropout diversifies candidates
     assert not np.allclose(np.asarray(cands[:, 0]), np.asarray(cands[:, 1]))
+
+
+def test_kv_precompute_equivalent(setup):
+    """forecast_kv(preprojected K/V) == forecast(full hidden)."""
+    model, vs, b = setup
+    hidden, mask, poly = model.apply(vs, b, True,
+                                     method=model.encode_context)
+    ref = model.apply(vs, b, hidden, mask, poly, False,
+                      method=model.forecast,
+                      rngs={"dropout": jax.random.key(3)})
+    kv, mask2, poly2 = model.apply(vs, b, True,
+                                   method=model.encode_context_kv)
+    out = model.apply(vs, b, kv, mask2, poly2, False,
+                      method=model.forecast_kv,
+                      rngs={"dropout": jax.random.key(3)})
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-5)

@@ -64,12 +64,12 @@ def fast_candidate_rollout(model, variables, batch: Dict,
     dropout, the part whose stochasticity drives the K-candidate metrics).
     model must be a TrajectoryModel (encode_context/forecast split)."""
     keys = jax.random.split(rng, num_candidates)
-    hidden, mask, poly = model.apply(variables, batch, True,
-                                     method=model.encode_context)
+    cross_kv, mask, poly = model.apply(variables, batch, True,
+                                       method=model.encode_context_kv)
 
     def one(key):
-        return model.apply(variables, batch, hidden, mask, poly, False,
-                           method=model.forecast, rngs={"dropout": key})
+        return model.apply(variables, batch, cross_kv, mask, poly, False,
+                           method=model.forecast_kv, rngs={"dropout": key})
 
     preds = jax.vmap(one)(keys)
     return jnp.swapaxes(preds, 0, 1)

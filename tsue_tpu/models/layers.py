@@ -18,22 +18,41 @@ from tsue_tpu.ops.attention import dot_product_attention
 
 
 class MHA(nn.Module):
-    """Multi-head attention with fused qkv projections."""
+    """Multi-head attention.
+
+    ``project_kv``/``attend`` expose the K/V projection separately so
+    deterministic memories (e.g. frozen-LLM hidden states) can be projected
+    ONCE per batch instead of once per vmapped candidate (fast K-candidate
+    eval).  Param names (q/k/v/o) are stable — the torch importer and
+    checkpoints depend on them.
+    """
     d_model: int
     num_heads: int
     dropout: float = 0.0
 
-    @nn.compact
-    def __call__(self, q_in, kv_in, mask=None, is_causal=False,
-                 deterministic=True):
+    def setup(self):
         H = self.num_heads
         Dh = self.d_model // H
-        q = nn.DenseGeneral((H, Dh), name="q")(q_in)
-        k = nn.DenseGeneral((H, Dh), name="k")(kv_in)
-        v = nn.DenseGeneral((H, Dh), name="v")(kv_in)
+        self.q_proj = nn.DenseGeneral((H, Dh), name="q")
+        self.k_proj = nn.DenseGeneral((H, Dh), name="k")
+        self.v_proj = nn.DenseGeneral((H, Dh), name="v")
+        self.o_proj = nn.DenseGeneral(self.d_model, axis=(-2, -1), name="o")
+        self.drop = nn.Dropout(self.dropout)
+
+    def project_kv(self, kv_in):
+        return self.k_proj(kv_in), self.v_proj(kv_in)
+
+    def attend(self, q_in, k, v, mask=None, is_causal=False,
+               deterministic=True):
+        q = self.q_proj(q_in)
         out = dot_product_attention(q, k, v, mask=mask, is_causal=is_causal)
-        out = nn.DenseGeneral(self.d_model, axis=(-2, -1), name="o")(out)
-        return nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        out = self.o_proj(out)
+        return self.drop(out, deterministic=deterministic)
+
+    def __call__(self, q_in, kv_in, mask=None, is_causal=False,
+                 deterministic=True):
+        k, v = self.project_kv(kv_in)
+        return self.attend(q_in, k, v, mask, is_causal, deterministic)
 
 
 class FFN(nn.Module):

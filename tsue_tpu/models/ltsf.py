@@ -112,48 +112,75 @@ class NLinearDecoder(nn.Module):
     output_feature_dim: int = 2
     use_cross_attn: bool = True
 
-    @nn.compact
+    def setup(self):
+        C = self.d_model
+        if self.individual:
+            self.linears = PerChannelLinear(C, self.window_size,
+                                            self.forecast_size,
+                                            name="linears")
+        else:
+            self.linear = nn.Dense(self.forecast_size, name="linear")
+        self.lane_fc = nn.Dense(C * self.forecast_size, name="lane_fc")
+        if self.use_post_mlp:
+            self.post_mlp1 = nn.Dense(self.post_mlp_hidden_dim,
+                                      name="post_mlp1")
+            self.post_mlp2 = nn.Dense(C * self.forecast_size,
+                                      name="post_mlp2")
+            self.post_drop = nn.Dropout(self.dropout)
+        if self.use_cross_attn:
+            self.dec_proj = nn.Dense(self.cross_dim, name="dec_proj")
+            self.cross_attn = MHA(self.cross_dim, self.cross_nhead,
+                                  self.dropout, name="cross_attn")
+            self.dec_unproj = nn.Dense(C, name="dec_unproj")
+        self.fusion_ln = nn.LayerNorm(name="fusion_ln")
+        self.fusion_fc1 = nn.Dense(C, name="fusion_fc1")
+        self.fusion_fc2 = nn.Dense(C, name="fusion_fc2")
+        self.out_proj = nn.Dense(self.output_feature_dim, name="out_proj")
+
+    def project_cross_kv(self, final_hidden):
+        """Precompute cross-attention K/V of a (deterministic) memory."""
+        return self.cross_attn.project_kv(final_hidden)
+
     def __call__(self, encoded, lane_polygon_emb,
                  final_hidden: Optional[jnp.ndarray] = None,
                  hidden_mask: Optional[jnp.ndarray] = None,
-                 deterministic=True):
+                 deterministic=True, cross_kv=None):
         B, C, T = encoded.shape
         F = self.forecast_size
         last = encoded[:, :, -1:]
         x_sub = encoded - last
         if self.individual:
-            decoded = PerChannelLinear(C, self.window_size, F,
-                                       name="linears")(x_sub)
+            decoded = self.linears(x_sub)
         else:
-            decoded = nn.Dense(F, name="linear")(x_sub)
+            decoded = self.linear(x_sub)
         decoded = decoded + last                       # broadcast over F
 
-        lane_adj = nn.Dense(C * F, name="lane_fc")(lane_polygon_emb)
+        lane_adj = self.lane_fc(lane_polygon_emb)
         decoded = decoded + lane_adj.reshape(B, C, F)
 
         if self.use_post_mlp:
             flat = decoded.reshape(B, C * F)
-            h = nn.Dense(self.post_mlp_hidden_dim, name="post_mlp1")(flat)
-            h = nn.relu(h)
-            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-            h = nn.Dense(C * F, name="post_mlp2")(h)
-            decoded = h.reshape(B, C, F)               # REPLACES (ref :787-791)
+            h = nn.relu(self.post_mlp1(flat))
+            h = self.post_drop(h, deterministic=deterministic)
+            decoded = self.post_mlp2(h).reshape(B, C, F)  # REPLACES (ref :787-791)
 
         dec_t = jnp.swapaxes(decoded, 1, 2)            # (B, F, C)
-        if self.use_cross_attn and final_hidden is not None:
-            q = nn.Dense(self.cross_dim, name="dec_proj")(dec_t)
-            ca = MHA(self.cross_dim, self.cross_nhead, self.dropout,
-                     name="cross_attn")(q, final_hidden, mask=hidden_mask,
+        if self.use_cross_attn and (final_hidden is not None
+                                    or cross_kv is not None):
+            q = self.dec_proj(dec_t)
+            if cross_kv is None:
+                cross_kv = self.cross_attn.project_kv(final_hidden)
+            ca = self.cross_attn.attend(q, cross_kv[0], cross_kv[1],
+                                        mask=hidden_mask,
                                         deterministic=deterministic)
-            fused = dec_t + nn.Dense(C, name="dec_unproj")(ca)
+            fused = dec_t + self.dec_unproj(ca)
         else:
             fused = dec_t
-        h = nn.LayerNorm(name="fusion_ln")(fused)
-        h = nn.Dense(C, name="fusion_fc1")(h)
-        h = nn.relu(h)
-        h = nn.Dense(C, name="fusion_fc2")(h)
-        out = nn.Dense(self.output_feature_dim, name="out_proj")(h)  # (B,F,2)
-        return jnp.swapaxes(out, 1, 2)                 # (B, 2, F)
+        h = self.fusion_ln(fused)
+        h = nn.relu(self.fusion_fc1(h))
+        h = self.fusion_fc2(h)
+        out = self.out_proj(h)                          # (B, F, 2)
+        return jnp.swapaxes(out, 1, 2)                  # (B, 2, F)
 
 
 class TransformerLTSF(nn.Module):
@@ -175,21 +202,17 @@ class TransformerLTSF(nn.Module):
     cross_nhead: int = 2
     use_cross_attn: bool = True
 
-    @nn.compact
-    def __call__(self, x, lane_polygon_emb, final_hidden=None,
-                 hidden_mask=None, deterministic=True):
-        # token_proj: Conv1d(feature,d,k=1) == Dense over the channel axis
-        h = jnp.swapaxes(x, 1, 2)                      # (B, T, feature)
-        h = nn.Dense(self.d_model, name="token_proj")(h)
-        h = jnp.swapaxes(h, 1, 2)                      # (B, d, T)
-        h = NLinearEncoder(self.seq_len, self.d_model, self.individual,
-                           name="nlinear_encoder")(h)
-        pos = self.param("pos_encoding", nn.initializers.zeros,
-                         (1, self.d_model, self.seq_len))
-        h = h + pos[:, :, :h.shape[2]]
-        h = SelfAttentionBlock(self.d_model, self.nhead, self.dropout,
-                               name="attn_block")(h, deterministic)
-        return NLinearDecoder(
+    def setup(self):
+        self.token_proj = nn.Dense(self.d_model, name="token_proj")
+        self.nlinear_encoder = NLinearEncoder(
+            self.seq_len, self.d_model, self.individual,
+            name="nlinear_encoder")
+        self.pos_encoding = self.param(
+            "pos_encoding", nn.initializers.zeros,
+            (1, self.d_model, self.seq_len))
+        self.attn_block = SelfAttentionBlock(
+            self.d_model, self.nhead, self.dropout, name="attn_block")
+        self.decoder = NLinearDecoder(
             self.seq_len, self.out_len, self.d_model,
             individual=self.individual,
             polygon_embed_dim=self.polygon_embed_dim,
@@ -198,6 +221,19 @@ class TransformerLTSF(nn.Module):
             dropout=self.dropout, cross_dim=self.cross_dim,
             cross_nhead=self.cross_nhead,
             output_feature_dim=self.feature_size,
-            use_cross_attn=self.use_cross_attn,
-            name="decoder")(h, lane_polygon_emb, final_hidden, hidden_mask,
-                            deterministic)
+            use_cross_attn=self.use_cross_attn, name="decoder")
+
+    def project_cross_kv(self, final_hidden):
+        return self.decoder.project_cross_kv(final_hidden)
+
+    def __call__(self, x, lane_polygon_emb, final_hidden=None,
+                 hidden_mask=None, deterministic=True, cross_kv=None):
+        # token_proj: Conv1d(feature,d,k=1) == Dense over the channel axis
+        h = jnp.swapaxes(x, 1, 2)                      # (B, T, feature)
+        h = self.token_proj(h)
+        h = jnp.swapaxes(h, 1, 2)                      # (B, d, T)
+        h = self.nlinear_encoder(h)
+        h = h + self.pos_encoding[:, :, :h.shape[2]]
+        h = self.attn_block(h, deterministic)
+        return self.decoder(h, lane_polygon_emb, final_hidden, hidden_mask,
+                            deterministic, cross_kv)

@@ -88,6 +88,29 @@ class TrajectoryModel(nn.Module):
                 final_hidden = jax.lax.stop_gradient(final_hidden)
         return final_hidden, hidden_mask, poly_emb
 
+    def encode_context_kv(self, batch: dict, deterministic: bool = True):
+        """Fast-eval context with PREPROJECTED cross-attention K/V.
+
+        Returns (cross_kv, hidden_mask, poly_emb): the deterministic
+        hidden states are projected through the decoder's cross-attention
+        K/V heads once per batch, so vmapped candidates skip those
+        (544, 2048)x(2048, 2048) matmuls entirely.
+        """
+        final_hidden, hidden_mask, poly_emb = self.encode_context(
+            batch, deterministic)
+        cross_kv = None
+        if final_hidden is not None:
+            cross_kv = self.ltsf.project_cross_kv(final_hidden)
+        return cross_kv, hidden_mask, poly_emb
+
+    def forecast_kv(self, batch: dict, cross_kv, hidden_mask, poly_emb,
+                    deterministic: bool = True):
+        """Forecast from a preprojected context (fast K-candidate eval)."""
+        x = batch["traj_in"]
+        pred = self.ltsf(x, poly_emb, None, hidden_mask, deterministic,
+                         cross_kv=cross_kv)
+        return pred + x[:, :, -1:]
+
     def forecast(self, batch: dict, final_hidden, hidden_mask, poly_emb,
                  deterministic: bool = True):
         """LTSF decode + last-input-position residual (ref :941-943)."""
