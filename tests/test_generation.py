@@ -154,3 +154,19 @@ class TestPostprocess:
     def test_answer_extraction(self):
         t = "prompt stuff Answer: the answer text"
         assert postprocess_text(t, extract_answer=True) == "the answer text"
+
+
+class TestEosStop:
+    def test_eos_masks_remaining_tokens(self, gen_setup):
+        """Set eos_id to whatever greedy emits first: every later position
+        must be pad and the sequence must not keep generating."""
+        tok, mllm, vs, vision, ids, mask = gen_setup
+        cfg = SamplingConfig(do_sample=False, repetition_penalty=1.0,
+                             no_repeat_ngram_size=0)
+        probe = make_generate_fn(mllm, cfg, 1, ids.shape[1], -1, tok.pad_id)
+        first = int(np.asarray(probe(vs, vision, ids, mask,
+                                     jax.random.key(0)))[0, 0])
+        gen = make_generate_fn(mllm, cfg, 6, ids.shape[1], first, tok.pad_id)
+        out = np.asarray(gen(vs, vision, ids, mask, jax.random.key(0)))
+        assert out[0, 0] == first          # the eos itself is recorded
+        assert (out[0, 1:] == tok.pad_id).all()
