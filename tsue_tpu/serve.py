@@ -1,0 +1,162 @@
+"""Serving: a precompiled single-chip predictor for production inference.
+
+The reference has no serving story (research scripts only); this module is
+the deployment-facing API over the same components:
+
+- fixed-shape programs compiled ONCE at startup (predict / K-candidate
+  rollout / context generation), then every request is a device call with
+  no retracing;
+- the expensive deterministic MLLM context is computed once per request
+  and shared by all K candidates (fast path, see bench.py);
+- inputs are raw pixel tracks; windowing/normalization runs through the
+  same (optionally C++) preprocessing used in training, so training and
+  serving can never skew.
+
+Usage:
+    p = Predictor(cfg, params)          # or Predictor.from_checkpoint(...)
+    out = p.predict(raw_tracks_px)      # dict with pixel-space trajectories
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tsue_tpu.config import ExperimentConfig
+from tsue_tpu.data import get_tokenizer
+from tsue_tpu.data.windowing import build_windows
+from tsue_tpu.eval.metrics import fast_candidate_rollout
+from tsue_tpu.models.tsue import TrajectoryModel
+from tsue_tpu.train.losses import denorm
+
+
+class Predictor:
+    """Batched trajectory prediction service for one chip."""
+
+    def __init__(self, cfg: ExperimentConfig, params,
+                 batch_size: int = 16, num_candidates: int = 0,
+                 tokenizer=None):
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.num_candidates = num_candidates
+        self.tokenizer = tokenizer or get_tokenizer()
+        self.model = TrajectoryModel(cfg.model, cfg.data.seq_len,
+                                     cfg.data.out_len)
+        self.params = params
+
+        self._predict = jax.jit(
+            lambda p, b: self.model.apply({"params": p}, b, True))
+        if num_candidates:
+            self._rollout = jax.jit(
+                lambda p, b, r: fast_candidate_rollout(
+                    self.model, {"params": p}, b, num_candidates, r))
+
+    @classmethod
+    def from_checkpoint(cls, cfg: ExperimentConfig, ckpt_dir: str,
+                        example_batch: Dict, **kw):
+        """Restore best-checkpoint params into a fresh init tree."""
+        from tsue_tpu.train.checkpoint import restore_pytree
+        model = TrajectoryModel(cfg.model, cfg.data.seq_len,
+                                cfg.data.out_len)
+        variables = model.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            example_batch, False)
+        params = restore_pytree(ckpt_dir, target=variables["params"])
+        return cls(cfg, params, **kw)
+
+    def warmup(self):
+        """Compile all programs against dummy data (call at startup)."""
+        b = self._dummy_batch()
+        jax.block_until_ready(self._predict(self.params, b))
+        if self.num_candidates:
+            jax.block_until_ready(
+                self._rollout(self.params, b, jax.random.key(0)))
+        return self
+
+    def _dummy_batch(self):
+        d = self.cfg.data
+        B = self.batch_size
+        vd = d.vision_dim if d.use_vision else 1
+        L = d.max_length if d.use_text else 1
+        return {
+            "traj_in": jnp.zeros((B, 2, d.seq_len)),
+            "polygon": jnp.zeros((B, d.max_polygon_points, 2)),
+            "polygon_len": jnp.zeros((B,), jnp.int32),
+            "vision": jnp.zeros((B, d.seq_len, vd)),
+            "input_ids": jnp.zeros((B, L), jnp.int32),
+            "attention_mask": jnp.ones((B, L), jnp.int32),
+        }
+
+    def generate_context(self, tracks: Sequence[dict],
+                         max_new_tokens: int = 64,
+                         rng: Optional[jax.Array] = None) -> List[Dict]:
+        """Generate traffic-context text per track (stage-1 capability).
+
+        Requires cfg.model.use_llm; uses the per-track dataset and the
+        KV-cached sampled decoder.
+        """
+        assert self.cfg.model.use_llm, "use_llm=False predictor"
+        from tsue_tpu.data.text_dataset import build_track_text_dataset
+        from tsue_tpu.eval.generation import generate_texts
+        ds = build_track_text_dataset(tracks, self.cfg.data, self.tokenizer)
+        if len(ds) == 0:
+            return []
+        rng = rng if rng is not None else jax.random.key(0)
+        from tsue_tpu.models.fusion import MultiModalLLM
+        mllm = MultiModalLLM(llama=self.cfg.model.llama,
+                             qformer=self.cfg.model.qformer,
+                             use_vision=self.cfg.model.use_vision)
+        # prompt-only conditioning: mask the answer span out
+        prompt_mask = ds.attention_mask * (ds.labels == -100)
+        texts = generate_texts(
+            mllm, {"params": self.params["mllm"]}, self.tokenizer,
+            jnp.asarray(ds.vision), ds.input_ids * prompt_mask,
+            prompt_mask, rng, max_new_tokens)
+        return [{"track_id": int(t), "context": txt}
+                for t, txt in zip(ds.track_id, texts)]
+
+    def predict(self, tracks: Sequence[dict],
+                rng: Optional[jax.Array] = None) -> List[Dict]:
+        """Raw track dicts in (all_data.pkl schema) -> per-window pixel
+        predictions.  Returns one record per produced window:
+        {track_id, start_pixel_xy (2,T_in), pred_pixel_xy (2,T_out)
+         [, candidates_pixel_xy (K,2,T_out)]}.
+        """
+        ds = build_windows(tracks, self.cfg.data, self.tokenizer
+                           if self.cfg.data.use_text else None)
+        n = len(ds)
+        if n == 0:
+            return []
+        results: List[Dict] = []
+        B = self.batch_size
+        rng = rng if rng is not None else jax.random.key(0)
+        for s in range(0, n, B):
+            idx = np.arange(s, min(s + B, n))
+            pad = B - len(idx)
+            sel = np.concatenate([idx, np.repeat(idx[-1:], pad)])
+            batch = {k: jnp.asarray(v)
+                     for k, v in ds.slice(sel).as_batch_dict().items()}
+            pred = self._predict(self.params, batch)
+            pred_px = np.asarray(denorm(pred, batch["norm_stat"]))
+            past_px = np.asarray(denorm(batch["traj_in"],
+                                        batch["norm_stat"]))
+            cands_px = None
+            if self.num_candidates:
+                cands = self._rollout(self.params, batch,
+                                      jax.random.fold_in(rng, s))
+                K = self.num_candidates
+                ns = jnp.repeat(batch["norm_stat"], K, axis=0)
+                cands_px = np.asarray(denorm(
+                    cands.reshape(B * K, 2, -1), ns)).reshape(
+                    B, K, 2, -1)
+            for j in range(len(idx)):
+                rec = {"track_id": int(batch["track_id"][j]),
+                       "past_pixel_xy": past_px[j],
+                       "pred_pixel_xy": pred_px[j]}
+                if cands_px is not None:
+                    rec["candidates_pixel_xy"] = cands_px[j]
+                results.append(rec)
+        return results
