@@ -121,6 +121,11 @@ def bench_mode(model, params, batch, K: int, mode: str, iters: int = 5):
 
 def main():
     import jax
+    try:  # executable cache across bench runs (keyed by HLO)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tsue")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
     dev = jax.devices()[0]
     log(f"device: {dev}")
     K = 10

@@ -12,7 +12,7 @@ from tsue_tpu.data import BatchIterator, build_windows
 from tsue_tpu.eval.metrics import ade_fde, candidate_rollout, min_ade_fde_rmse
 from tsue_tpu.models.tsue import TrajectoryModel
 from tsue_tpu.train.losses import denorm, denorm_mse_loss
-from tsue_tpu.train.trainer import (TrainState, Trainer, freeze_label,
+from tsue_tpu.train.trainer import (TrainState, freeze_label,
                                     make_optimizer, make_train_step)
 
 from tsue_tpu.config import LaneEncoderConfig, LTSFConfig

@@ -1,2 +1,2 @@
 from tsue_tpu.train.losses import denorm, denorm_mse_loss
-from tsue_tpu.train.trainer import Trainer, TrainState, make_optimizer
+from tsue_tpu.train.trainer import TrainState, make_optimizer

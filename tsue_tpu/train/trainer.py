@@ -12,7 +12,6 @@ Replaces the reference's per-script DDP loops (ref scripts/train.py:1044-1328):
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, Dict, Tuple
 
 import jax
@@ -173,46 +172,3 @@ def make_scan_epoch(cfg: ExperimentConfig):
         return state, losses
 
     return epoch
-
-
-@dataclasses.dataclass
-class Trainer:
-    """Epoch-level orchestration: train/val loops, best-val tracking.
-
-    Mirrors ref scripts/train.py:1151-1252 minus the per-rank divergence
-    hazards; checkpoint IO lives in tsue_tpu.train.checkpoint.
-    """
-    cfg: ExperimentConfig
-    state: TrainState
-    mesh: Any = None
-
-    def __post_init__(self):
-        self._train_step = jax.jit(make_train_step(self.cfg), donate_argnums=0)
-        self._eval_step = jax.jit(make_eval_step(self.cfg))
-        self.best_val = float("inf")
-        self.best_params = None
-
-    def train_epoch(self, iterator, rng, shard=None) -> float:
-        total, n = 0.0, 0
-        for batch in iterator:
-            batch = shard(batch) if shard else batch
-            self.state, m = self._train_step(self.state, batch, rng)
-            total += float(m["loss"])
-            n += 1
-        return total / max(n, 1)
-
-    def eval_epoch(self, iterator, shard=None) -> float:
-        total, n = 0.0, 0
-        for batch in iterator:
-            batch = shard(batch) if shard else batch
-            m = self._eval_step(self.state, batch)
-            total += float(m["loss"])
-            n += 1
-        return total / max(n, 1)
-
-    def maybe_update_best(self, val_loss: float) -> bool:
-        if val_loss < self.best_val:
-            self.best_val = val_loss
-            self.best_params = jax.tree.map(lambda x: x, self.state.params)
-            return True
-        return False
