@@ -167,3 +167,16 @@ class TestBatchIterator:
         b1 = next(iter(it))
         assert not np.array_equal(b0["track_id"], b1["track_id"]) or \
             not np.array_equal(b0["traj_in"], b1["traj_in"])
+
+
+class TestWrapUnderfill:
+    def test_dataset_smaller_than_half_batch(self, small_windows):
+        """Regression: n < batch_size/2 must still yield full-size batches."""
+        tiny = small_windows.slice(np.arange(3))
+        it = BatchIterator(tiny, batch_size=16, shuffle=True, seed=0)
+        batches = list(it)
+        assert len(batches) == 1
+        b = batches[0]
+        assert b["traj_in"].shape[0] == 16
+        assert b["valid"].shape[0] == 16
+        assert int(b["valid"].sum()) == 3

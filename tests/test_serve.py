@@ -84,3 +84,10 @@ def test_generate_context_with_llm():
     out = p.generate_context(tracks, max_new_tokens=4)
     assert len(out) == 2
     assert all(isinstance(r["context"], str) for r in out)
+
+
+def test_warmup_prevents_retrace(predictor):
+    """predict() must reuse the warmup executable (same pytree keys)."""
+    tracks = make_synthetic_tracks(num_tracks=2, track_len=300, seed=10)
+    predictor.predict(tracks)
+    assert predictor._predict._cache_size() == 1

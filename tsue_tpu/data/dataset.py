@@ -83,7 +83,10 @@ class BatchIterator:
         num_batches = len(self)
         total = num_batches * self.batch_size
         if total > n:
-            perm = np.concatenate([perm, perm[:total - n]])
+            # wrap around as many times as needed (datasets smaller than
+            # half a batch require multiple repeats)
+            reps = -(-total // n)
+            perm = np.tile(perm, reps)[:total]
             valid_by_pos = np.ones(total, bool)
             valid_by_pos[n:] = False
         else:

@@ -34,7 +34,12 @@ class attention_impl:
     """Scoped implementation switch:
 
         with attention_impl("pallas"):
-            train_step(...)
+            step = jax.jit(make_train_step(cfg))   # trace INSIDE the scope
+            step(...)
+
+    CAVEAT: the switch is consulted at TRACE time. A function already
+    traced/compiled under a different impl keeps its cached executable —
+    build (or re-build) jitted callables inside the scope.
     """
 
     def __init__(self, name: str):

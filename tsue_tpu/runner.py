@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tsue_tpu.config import ExperimentConfig, get_preset
+from tsue_tpu.config import ExperimentConfig
 from tsue_tpu.data import (BatchIterator, build_windows, check_data_sanity,
                            get_tokenizer, make_synthetic_tracks, split_tracks)
 from tsue_tpu.data.schema import load_tracks
@@ -59,6 +59,12 @@ def prepare_data(cfg: ExperimentConfig, data_path: Optional[str],
     if return_tracks:
         return out + ((tr, va, te),)
     return out
+
+
+def _to_device(batch: Dict, mesh=None) -> Dict:
+    """Host batch -> device arrays (sharded over the mesh when given)."""
+    arrays = {k: jnp.asarray(v) for k, v in batch.items()}
+    return shard_batch(arrays, mesh) if mesh is not None else arrays
 
 
 def _batches(ds, cfg, shuffle, epoch=0, batch_size=None):
@@ -120,30 +126,33 @@ def run_stage2(cfg: ExperimentConfig, data_path: Optional[str] = None,
     rng = jax.random.key(cfg.train.seed)
 
     n_epochs = epochs if epochs is not None else cfg.train.epochs
+    best_params_mem = None
     with mesh:
         for epoch in range(n_epochs):
             tl, tn = 0.0, 0
             for batch in _batches(dtr, cfg, True, epoch):
-                batch = shard_batch({k: jnp.asarray(v)
-                                     for k, v in batch.items()}, mesh)
-                state, m = train_step(state, batch, rng)
+                state, m = train_step(state, _to_device(batch, mesh), rng)
                 tl += float(m["loss"]); tn += 1
             vl, vn = 0.0, 0
             for batch in _batches(dva, cfg, False):
-                batch = shard_batch({k: jnp.asarray(v)
-                                     for k, v in batch.items()}, mesh)
-                vl += float(eval_step(state, batch)["loss"]); vn += 1
+                vl += float(eval_step(state,
+                                      _to_device(batch, mesh))["loss"])
+                vn += 1
             train_loss = tl / max(tn, 1)
-            val_loss = vl / max(vn, 1)
+            # empty val split: NaN (never "best") instead of a misleading 0
+            val_loss = vl / vn if vn else float("nan")
             logger.log(epoch, train_loss=train_loss, val_loss=val_loss)
-            ckpt.maybe_save(val_loss, state.params)
+            if ckpt.maybe_save(val_loss, state.params) and \
+                    jax.process_count() > 1:
+                # disk ckpt lives on host 0 only; keep an in-memory copy so
+                # every process can restore the best params
+                best_params_mem = jax.tree.map(lambda x: x, state.params)
 
             # per-epoch qualitative sample (ref train.py:1226-1247, T7)
             if viz_every and epoch % viz_every == 0 and is_primary() \
                     and len(dva):
                 from tsue_tpu.viz import plot_one_sample
-                vb = next(iter(_batches(dva, cfg, False)))
-                vb = {k: jnp.asarray(v) for k, v in vb.items()}
+                vb = _to_device(next(iter(_batches(dva, cfg, False))))
                 pred = eval_step(state, vb)["pred"]
                 ns = vb["norm_stat"]
                 plot_one_sample(
@@ -155,7 +164,11 @@ def run_stage2(cfg: ExperimentConfig, data_path: Optional[str] = None,
 
         # restore best before test (ref train.py:1249-1252)
         if n_epochs > 0 and ckpt.best_val < float("inf"):
-            state = state.replace(params=ckpt.restore_best(state.params))
+            if best_params_mem is not None:
+                state = state.replace(params=best_params_mem)
+            else:
+                state = state.replace(
+                    params=ckpt.restore_best(state.params))
 
         # test: ADE/FDE and optional K-candidate metrics
         metrics = evaluate(model, state.params, dte, cfg, mesh,
@@ -175,10 +188,15 @@ def evaluate(model, params, dte, cfg, mesh, eval_candidates: int = 0,
     vmaps only the stochastic forecaster; "parity" vmaps the whole
     stochastic model like the reference's train()-mode forwards.
     """
-    ades, fdes, mins = [], [], []
+    # sample-weighted accumulation (the reference averages total error
+    # over total samples; per-batch-mean averaging would overweight the
+    # wrap-padded tail batch)
+    ade_sum = fde_sum = n_sum = 0.0
+    min_sums = np.zeros(3)
     first_batch = None
     first_pred = None
     first_cands = None
+    single_process = jax.process_count() == 1
     apply_det = jax.jit(lambda p, b: model.apply({"params": p}, b, True))
 
     def cand_fn(p, b, rng):
@@ -191,39 +209,33 @@ def evaluate(model, params, dte, cfg, mesh, eval_candidates: int = 0,
     cand_fn = jax.jit(cand_fn) if eval_candidates else None
 
     for i, batch in enumerate(_batches(dte, cfg, False)):
-        batch = shard_batch({k: jnp.asarray(v) for k, v in batch.items()},
-                            mesh)
+        batch = _to_device(batch, mesh)
         pred = apply_det(params, batch)
+        # metrics on sharded batches are GLOBAL (eager SPMD): every
+        # process computes identical fully-replicated scalars
         a, f = ade_fde(pred, batch["traj_out"], batch["norm_stat"],
                        batch["valid"])
-        ades.append(float(a)); fdes.append(float(f))
+        nv = float(batch["valid"].sum())
+        ade_sum += float(a) * nv
+        fde_sum += float(f) * nv
+        n_sum += nv
         if eval_candidates:
             cands = cand_fn(params, batch, jax.random.key(1000 + i))
-            mins.append([float(x) for x in min_ade_fde_rmse(
-                cands, batch["traj_out"], batch["norm_stat"],
-                batch["valid"])])
-            if first_cands is None:
+            ms = min_ade_fde_rmse(cands, batch["traj_out"],
+                                  batch["norm_stat"], batch["valid"])
+            min_sums += np.array([float(x) for x in ms]) * nv
+            if first_cands is None and single_process:
                 first_cands = np.asarray(cands)
-        if first_batch is None:
+        if first_batch is None and single_process:
+            # viz arrays are host-fetched; only valid single-process
             first_batch = {k: np.asarray(v) for k, v in batch.items()}
             first_pred = np.asarray(pred)
 
-    # multi-process: each process measured its own data shard; average the
-    # per-process means so rank-0 logs global metrics (the reference runs
-    # its test loop on rank 0 only, ref train.py:1255)
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-        ades = list(np.ravel(multihost_utils.process_allgather(
-            np.asarray(ades, np.float32))))
-        fdes = list(np.ravel(multihost_utils.process_allgather(
-            np.asarray(fdes, np.float32))))
-        if mins:
-            mins = list(np.concatenate(multihost_utils.process_allgather(
-                np.asarray(mins, np.float32))))
-    out = {"test_ade": float(np.mean(ades)) if ades else float("nan"),
-           "test_fde": float(np.mean(fdes)) if fdes else float("nan")}
-    if mins:
-        m = np.mean(mins, axis=0)
+    n = max(n_sum, 1.0)
+    out = {"test_ade": ade_sum / n if n_sum else float("nan"),
+           "test_fde": fde_sum / n if n_sum else float("nan")}
+    if eval_candidates and n_sum:
+        m = min_sums / n
         out.update(min_ade=float(m[0]), min_fde=float(m[1]),
                    min_rmse=float(m[2]), K=eval_candidates)
 
@@ -270,7 +282,7 @@ def run_baseline(name: str, cfg: ExperimentConfig,
         K = eval_candidates or 10
         mins, ades, fdes = [], [], []
         for i, b in enumerate(_batches(dte, cfg, False)):
-            b = {k: jnp.asarray(v) for k, v in b.items()}
+            b = _to_device(b)
             cands = cv_candidates(b["traj_in"], cfg.data.out_len,
                                   jax.random.key(i), K, 0.1)
             mins.append([float(x) for x in min_ade_fde_rmse(
@@ -287,11 +299,11 @@ def run_baseline(name: str, cfg: ExperimentConfig,
         return out
 
     if name == "gail":
-        return _run_gail(cfg, dtr, dte, logger, epochs)
+        return _run_gail(cfg, dtr, dte, logger, epochs, eval_candidates)
 
     model = BASELINE_REGISTRY[name](seq_len=cfg.data.seq_len,
                                     out_len=cfg.data.out_len)
-    b0 = {k: jnp.asarray(v) for k, v in next(iter(_batches(dtr, cfg, False))).items()}
+    b0 = _to_device(next(iter(_batches(dtr, cfg, False))))
     rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
             "latent": jax.random.key(2), "noise": jax.random.key(3)}
     variables = dict(model.init(rngs, b0, True))
@@ -301,31 +313,35 @@ def run_baseline(name: str, cfg: ExperimentConfig,
     n_epochs = epochs if epochs is not None else cfg.train.epochs
     for epoch in range(n_epochs):
         tl, tn = 0.0, 0
-        for b in _batches(dtr, cfg, True, epoch):
-            b = {k: jnp.asarray(v) for k, v in b.items()}
-            variables, opt_state, m = step(variables, opt_state, b,
-                                           jax.random.key(epoch))
+        for si, b in enumerate(_batches(dtr, cfg, True, epoch)):
+            variables, opt_state, m = step(
+                variables, opt_state, _to_device(b),
+                jax.random.fold_in(jax.random.key(epoch), si))
             tl += float(m["loss"]); tn += 1
         logger.log(epoch, train_loss=tl / max(tn, 1))
 
-    # test
-    ades, fdes, mins = [], [], []
+    # test (sample-weighted like evaluate())
+    ade_sum = fde_sum = n_sum = 0.0
+    min_sums = np.zeros(3)
     eval_fn = jax.jit(make_baseline_eval_fn(model), static_argnums=3)
     det_fn = jax.jit(lambda v, b: model.apply(v, b, True))
     for i, b in enumerate(_batches(dte, cfg, False)):
-        b = {k: jnp.asarray(v) for k, v in b.items()}
+        b = _to_device(b)
         pred = det_fn(variables, b)
         a, f = ade_fde(pred, b["traj_out"], b["norm_stat"], b["valid"])
-        ades.append(float(a)); fdes.append(float(f))
+        nv = float(b["valid"].sum())
+        ade_sum += float(a) * nv; fde_sum += float(f) * nv; n_sum += nv
         if eval_candidates:
             cands = eval_fn(variables, b, jax.random.key(100 + i),
                             eval_candidates)
-            mins.append([float(x) for x in min_ade_fde_rmse(
-                cands, b["traj_out"], b["norm_stat"], b["valid"])])
-    out = {"test_ade": float(np.mean(ades)) if ades else float("nan"),
-           "test_fde": float(np.mean(fdes)) if fdes else float("nan")}
-    if mins:
-        m = np.mean(mins, axis=0)
+            ms = min_ade_fde_rmse(cands, b["traj_out"], b["norm_stat"],
+                                  b["valid"])
+            min_sums += np.array([float(x) for x in ms]) * nv
+    n = max(n_sum, 1.0)
+    out = {"test_ade": ade_sum / n if n_sum else float("nan"),
+           "test_fde": fde_sum / n if n_sum else float("nan")}
+    if eval_candidates and n_sum:
+        m = min_sums / n
         out.update(min_ade=float(m[0]), min_fde=float(m[1]),
                    min_rmse=float(m[2]), K=eval_candidates)
     if eval_candidates and is_primary() and len(dte):
@@ -346,14 +362,14 @@ def run_baseline(name: str, cfg: ExperimentConfig,
     return out
 
 
-def _run_gail(cfg, dtr, dte, logger, epochs):
+def _run_gail(cfg, dtr, dte, logger, epochs, eval_candidates: int = 0):
     import optax
     from tsue_tpu.models.baselines import GAILDiscriminator, GAILGenerator
     from tsue_tpu.train.baseline_steps import make_gail_train_step
     gen = GAILGenerator(seq_len=cfg.data.seq_len, out_len=cfg.data.out_len)
     disc = GAILDiscriminator(seq_len=cfg.data.seq_len,
                              out_len=cfg.data.out_len)
-    b0 = {k: jnp.asarray(v) for k, v in next(iter(_batches(dtr, cfg, False))).items()}
+    b0 = _to_device(next(iter(_batches(dtr, cfg, False))))
     gvs = gen.init({"params": jax.random.key(0)}, b0, True)
     dvs = disc.init({"params": jax.random.key(1)}, b0["traj_in"],
                     b0["traj_out"])
@@ -365,21 +381,44 @@ def _run_gail(cfg, dtr, dte, logger, epochs):
     n_epochs = epochs if epochs is not None else cfg.train.epochs
     for epoch in range(n_epochs):
         gl = dl = n = 0.0
-        for b in _batches(dtr, cfg, True, epoch):
-            b = {k: jnp.asarray(v) for k, v in b.items()}
-            gp, dp, go, do, m = step(gp, dp, go, do, b,
-                                     jax.random.key(epoch))
+        for si, b in enumerate(_batches(dtr, cfg, True, epoch)):
+            gp, dp, go, do, m = step(
+                gp, dp, go, do, _to_device(b),
+                jax.random.fold_in(jax.random.key(epoch), si))
             gl += float(m["g_loss"]); dl += float(m["d_loss"]); n += 1
         logger.log(epoch, g_loss=gl / max(n, 1), d_loss=dl / max(n, 1))
-    ades, fdes = [], []
+    ade_sum = fde_sum = n_sum = 0.0
+    min_sums = np.zeros(3)
     det = jax.jit(lambda p, b: gen.apply({"params": p}, b, True))
-    for b in _batches(dte, cfg, False):
-        b = {k: jnp.asarray(v) for k, v in b.items()}
+
+    def noisy_candidates(p, b, rng, K):
+        # K candidates via generator output noise, noise_scale=0.05
+        # (ref scripts/baseline_GAIL.py:441-460)
+        keys = jax.random.split(rng, K)
+        preds = jax.vmap(lambda k: gen.apply(
+            {"params": p}, b, True, noise_scale=0.05,
+            rngs={"noise": k}))(keys)
+        return jnp.swapaxes(preds, 0, 1)
+    cand_fn = jax.jit(noisy_candidates, static_argnums=3)         if eval_candidates else None
+
+    for i, b in enumerate(_batches(dte, cfg, False)):
+        b = _to_device(b)
         pred = det(gp, b)
         a, f = ade_fde(pred, b["traj_out"], b["norm_stat"], b["valid"])
-        ades.append(float(a)); fdes.append(float(f))
-    out = {"test_ade": float(np.mean(ades)) if ades else float("nan"),
-           "test_fde": float(np.mean(fdes)) if fdes else float("nan")}
+        nv = float(b["valid"].sum())
+        ade_sum += float(a) * nv; fde_sum += float(f) * nv; n_sum += nv
+        if eval_candidates:
+            from tsue_tpu.eval.metrics import min_ade_fde_rmse as _mins
+            cands = cand_fn(gp, b, jax.random.key(500 + i), eval_candidates)
+            ms = _mins(cands, b["traj_out"], b["norm_stat"], b["valid"])
+            min_sums += np.array([float(x) for x in ms]) * nv
+    n = max(n_sum, 1.0)
+    out = {"test_ade": ade_sum / n if n_sum else float("nan"),
+           "test_fde": fde_sum / n if n_sum else float("nan")}
+    if eval_candidates and n_sum:
+        m = min_sums / n
+        out.update(min_ade=float(m[0]), min_fde=float(m[1]),
+                   min_rmse=float(m[2]), K=eval_candidates)
     logger.log(n_epochs, **out)
     logger.close()
     return out
@@ -474,7 +513,7 @@ def run_stage1(cfg: ExperimentConfig, data_path: Optional[str] = None,
                            vocab_size=tokenizer.vocab_size)
     mllm = MultiModalLLM(llama=llama_cfg, qformer=cfg.model.qformer,
                          use_vision=cfg.model.use_vision)
-    b0 = {k: jnp.asarray(v) for k, v in next(iter(_batches(dtr, cfg, False))).items()}
+    b0 = _to_device(next(iter(_batches(dtr, cfg, False))))
     variables = mllm.init(
         {"params": jax.random.key(0), "dropout": jax.random.key(1)},
         b0["vision"], b0["input_ids"], b0["attention_mask"])
@@ -486,12 +525,12 @@ def run_stage1(cfg: ExperimentConfig, data_path: Optional[str] = None,
     n_epochs = epochs if epochs is not None else cfg.train.epochs
     for epoch in range(n_epochs):
         tl, tn = 0.0, 0
-        for b in _batches(dtr, cfg, True, epoch):
-            b = {k: jnp.asarray(v) for k, v in b.items()}
-            params, opt_state, m = step(params, opt_state, b,
-                                        jax.random.key(epoch))
+        for si, b in enumerate(_batches(dtr, cfg, True, epoch)):
+            params, opt_state, m = step(
+                params, opt_state, _to_device(b),
+                jax.random.fold_in(jax.random.key(epoch), si))
             tl += float(m["lm_loss"]); tn += 1
-        vl = [float(ev(params, {k: jnp.asarray(v) for k, v in b.items()})["lm_loss"])
+        vl = [float(ev(params, _to_device(b))["lm_loss"])
               for b in _batches(dva, cfg, False)]
         logger.log(epoch, lm_loss=tl / max(tn, 1),
                    val_lm_loss=float(np.mean(vl)) if vl else float("nan"))

@@ -47,6 +47,8 @@ class Predictor:
                                      cfg.data.out_len)
         self.params = params
 
+        self._model_keys = ("traj_in", "polygon", "polygon_len",
+                            "vision", "input_ids", "attention_mask")
         self._predict = jax.jit(
             lambda p, b: self.model.apply({"params": p}, b, True))
         if num_candidates:
@@ -137,23 +139,26 @@ class Predictor:
             idx = np.arange(s, min(s + B, n))
             pad = B - len(idx)
             sel = np.concatenate([idx, np.repeat(idx[-1:], pad)])
-            batch = {k: jnp.asarray(v)
-                     for k, v in ds.slice(sel).as_batch_dict().items()}
+            full = ds.slice(sel).as_batch_dict()
+            # restrict to the warmup pytree keys: jit caches on dict
+            # structure, so extra keys would force a fresh compile
+            batch = {k: jnp.asarray(full[k]) for k in self._model_keys}
+            norm_stat = jnp.asarray(full["norm_stat"])
+            track_ids = full["track_id"]
             pred = self._predict(self.params, batch)
-            pred_px = np.asarray(denorm(pred, batch["norm_stat"]))
-            past_px = np.asarray(denorm(batch["traj_in"],
-                                        batch["norm_stat"]))
+            pred_px = np.asarray(denorm(pred, norm_stat))
+            past_px = np.asarray(denorm(batch["traj_in"], norm_stat))
             cands_px = None
             if self.num_candidates:
                 cands = self._rollout(self.params, batch,
                                       jax.random.fold_in(rng, s))
                 K = self.num_candidates
-                ns = jnp.repeat(batch["norm_stat"], K, axis=0)
+                ns = jnp.repeat(norm_stat, K, axis=0)
                 cands_px = np.asarray(denorm(
                     cands.reshape(B * K, 2, -1), ns)).reshape(
                     B, K, 2, -1)
             for j in range(len(idx)):
-                rec = {"track_id": int(batch["track_id"][j]),
+                rec = {"track_id": int(track_ids[j]),
                        "past_pixel_xy": past_px[j],
                        "pred_pixel_xy": pred_px[j]}
                 if cands_px is not None:

@@ -57,7 +57,11 @@ def restore_pytree(path: str, target: Optional[Any] = None) -> Any:
 
 
 class BestCheckpointer:
-    """Best-val checkpoint protocol (ref scripts/train.py:1219-1224)."""
+    """Best-val checkpoint protocol (ref scripts/train.py:1219-1224).
+
+    Process 0 writes to disk; on multi-host runs without a shared
+    filesystem, callers must restore from an in-memory copy instead of
+    ``restore_best`` (tsue_tpu.runner does this automatically)."""
 
     def __init__(self, directory: str):
         self.directory = os.path.abspath(directory)
@@ -69,7 +73,8 @@ class BestCheckpointer:
         return os.path.join(self.directory, "best")
 
     def maybe_save(self, val_loss: float, params) -> bool:
-        if val_loss >= self.best_val:
+        import math
+        if not math.isfinite(val_loss) or val_loss >= self.best_val:
             return False
         self.best_val = val_loss
         if jax.process_index() == 0:
