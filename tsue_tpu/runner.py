@@ -240,21 +240,24 @@ def evaluate(model, params, dte, cfg, mesh, eval_candidates: int = 0,
                    min_rmse=float(m[2]), K=eval_candidates)
 
     if viz_dir and first_batch is not None and is_primary():
-        from tsue_tpu.viz import plot_candidates, plot_one_sample
+        from tsue_tpu.viz import (plot_best_of_k, plot_candidates,
+                                  plot_one_sample, plot_xy_time)
+        d = os.path.join(viz_dir, "viz")
         ns = jnp.asarray(first_batch["norm_stat"])
         past = np.asarray(denorm(jnp.asarray(first_batch["traj_in"]), ns))
         gt = np.asarray(denorm(jnp.asarray(first_batch["traj_out"]), ns))
         pd = np.asarray(denorm(jnp.asarray(first_pred), ns))
-        plot_one_sample(past[0], gt[0], pd[0],
-                        os.path.join(viz_dir, "viz"), prefix="test")
+        plot_one_sample(past[0], gt[0], pd[0], d, prefix="test")
+        plot_xy_time(gt[0], [pd[0]], d, prefix="test_xy_time")
         if first_cands is not None:
             K = first_cands.shape[1]
             cd = np.asarray(denorm(
                 jnp.asarray(first_cands[0]),
                 jnp.repeat(ns[:1], K, axis=0)))
-            plot_candidates(past[0], gt[0], cd,
-                            os.path.join(viz_dir, "viz"),
+            plot_candidates(past[0], gt[0], cd, d,
                             prefix="test_candidates")
+            # best-of-K highlight (ref seed_fix_train.py:929-1000)
+            plot_best_of_k(past[0], gt[0], cd, d, prefix="test_best_of_k")
     return out
 
 
