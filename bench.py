@@ -78,27 +78,19 @@ def build(batch_size: int, seq_len: int, out_len: int, text_len: int,
 def bench_mode(model, params, batch, K: int, mode: str, iters: int = 5):
     import jax
     import jax.numpy as jnp
-    from tsue_tpu.models.fusion import MultiModalLLM
+    # the measured programs ARE the production eval paths
+    from tsue_tpu.eval.metrics import (candidate_rollout,
+                                       fast_candidate_rollout)
 
     if mode == "parity":
         def rollout(params, batch, rng):
-            keys = jax.random.split(rng, K)
-            def one(key):
-                return model.apply({"params": params}, batch, False,
-                                   rngs={"dropout": key})
-            return jax.vmap(one)(keys)
-    else:  # fast: MLLM hidden + cross-attn K/V once, vmap only the
-           # stochastic forecaster
+            return candidate_rollout(
+                lambda v, b, det, rngs: model.apply(v, b, det, rngs=rngs),
+                {"params": params}, batch, K, rng)
+    else:  # fast: MLLM context + cross-attn K/V once per batch
         def rollout(params, batch, rng):
-            keys = jax.random.split(rng, K)
-            cross_kv, mask, poly = model.apply(
-                {"params": params}, batch, True,
-                method=model.encode_context_kv)
-            def one(key):
-                return model.apply(
-                    {"params": params}, batch, cross_kv, mask, poly, False,
-                    method=model.forecast_kv, rngs={"dropout": key})
-            return jax.vmap(one)(keys)
+            return fast_candidate_rollout(model, {"params": params}, batch,
+                                          K, rng)
 
     step = jax.jit(rollout)
     rng = jax.random.key(0)

@@ -7,7 +7,7 @@
 // small C++ library with a C ABI consumed via ctypes (no pybind11 in the
 // image).  Text/regex/tokenization stay in Python.
 //
-// Build: make -C native   (g++ -O3 -march=native -shared -fPIC)
+// Build: make -C native   (g++ -O3 -shared -fPIC)
 
 #include <cmath>
 #include <cstdint>
@@ -43,11 +43,13 @@ int tsue_is_abnormal(const float* traj /* (n,2) row-major */, int64_t n,
 //   in_out  : (max_windows, 2, seq_len)   channel-major (x row, y row)
 //   out_out : (max_windows, 2, out_len)
 //   stat_out: (max_windows, 4)            [min_x, max_x, min_y, max_y]
+//   starts_out: (max_windows,)             window start indices
 // Returns the number of windows written (<= max_windows).
 int64_t tsue_build_windows(const float* traj, int64_t n, int64_t seq_len,
                            int64_t out_len, int64_t stride,
                            float min_range_x, float* in_out, float* out_out,
-                           float* stat_out, int64_t max_windows) {
+                           float* stat_out, int64_t* starts_out,
+                           int64_t max_windows) {
   const int64_t win = seq_len + out_len;
   if (n < win || max_windows <= 0) return 0;
   int64_t count = 0;
@@ -82,29 +84,8 @@ int64_t tsue_build_windows(const float* traj, int64_t n, int64_t seq_len,
     }
     float* st = stat_out + count * 4;
     st[0] = min_x; st[1] = max_x; st[2] = min_y; st[3] = max_y;
+    starts_out[count] = start;
     ++count;
-    if (count >= max_windows) break;
-  }
-  return count;
-}
-
-// Window starts only (callers that need to slice vision embeddings).
-int64_t tsue_window_starts(const float* traj, int64_t n, int64_t seq_len,
-                           int64_t out_len, int64_t stride,
-                           float min_range_x, int64_t* starts,
-                           int64_t max_windows) {
-  const int64_t win = seq_len + out_len;
-  if (n < win || max_windows <= 0) return 0;
-  int64_t count = 0;
-  for (int64_t start = 0; start + win <= n; start += stride) {
-    float min_x = traj[2 * start], max_x = min_x;
-    for (int64_t i = 1; i < win; ++i) {
-      const float x = traj[2 * (start + i)];
-      if (x < min_x) min_x = x;
-      if (x > max_x) max_x = x;
-    }
-    if (max_x - min_x < min_range_x) continue;
-    starts[count++] = start;
     if (count >= max_windows) break;
   }
   return count;

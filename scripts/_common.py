@@ -46,9 +46,9 @@ def apply_overrides(cfg, args):
         import jax
         jax.config.update("jax_platforms", args.platform)
     tr = cfg.train
-    if args.batch_size:
+    if args.batch_size is not None:
         tr = dataclasses.replace(tr, batch_size=args.batch_size)
-    if args.lr:
+    if args.lr is not None:
         tr = dataclasses.replace(tr, lr=args.lr)
     cfg = dataclasses.replace(cfg, train=tr)
     if getattr(args, "tiny", False):
@@ -68,3 +68,17 @@ def apply_overrides(cfg, args):
 
 def finish(metrics: dict):
     print(json.dumps(metrics))
+
+
+def baseline_main(name: str, doc: str, default_k: int = 0):
+    """Shared main() for the eleven baseline/test-baseline CLIs."""
+    p = base_parser(doc)
+    p.add_argument("--k", type=int, default=default_k,
+                   help="K-candidate eval (ref test_baseline_* scripts)")
+    args = p.parse_args()
+    from tsue_tpu.config import get_preset
+    from tsue_tpu.runner import run_baseline
+    cfg = apply_overrides(get_preset("ablation_no_llm"), args)
+    finish(run_baseline(name, cfg, args.data, args.out_dir,
+                        epochs=args.epochs, eval_candidates=args.k,
+                        synthetic_tracks=args.synthetic_tracks))

@@ -14,7 +14,8 @@ def main():
     from tsue_tpu.runner import run_stage2
     cfg = apply_overrides(get_preset("ablation_no_lora"), args)
     finish(run_stage2(cfg, args.data, args.out_dir, args.mllm_ckpt,
-                      args.epochs, synthetic_tracks=args.synthetic_tracks))
+                      args.epochs, synthetic_tracks=args.synthetic_tracks,
+                      tokenizer_path=args.tokenizer))
 
 
 if __name__ == "__main__":

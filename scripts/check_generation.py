@@ -18,7 +18,8 @@ def main():
     finish(run_stage1(cfg, args.data, args.out_dir, epochs=args.epochs,
                       export_path=args.export,
                       synthetic_tracks=args.synthetic_tracks,
-                      generation_dump="test_generation_results.txt"))
+                      generation_dump="test_generation_results.txt",
+                      tokenizer_path=args.tokenizer))
 
 
 if __name__ == "__main__":

@@ -11,7 +11,8 @@ def main():
     cfg = apply_overrides(get_preset("seed_fix_24_24"), args)
     finish(run_stage2(cfg, args.data, args.out_dir, epochs=args.epochs,
                       eval_candidates=6,
-                      synthetic_tracks=args.synthetic_tracks))
+                      synthetic_tracks=args.synthetic_tracks,
+                      tokenizer_path=args.tokenizer))
 
 
 if __name__ == "__main__":

@@ -19,7 +19,8 @@ def main():
     finish(run_stage2(cfg, args.data, args.out_dir, epochs=args.epochs or 0,
                       eval_candidates=args.k, restore_ckpt=args.ckpt,
                       synthetic_tracks=args.synthetic_tracks,
-                      candidate_mode=args.candidate_mode))
+                      candidate_mode=args.candidate_mode,
+                      tokenizer_path=args.tokenizer))
 
 
 if __name__ == "__main__":

@@ -26,12 +26,14 @@ def _load() -> Optional[ctypes.CDLL]:
     if _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO) and os.path.isdir(_SRC_DIR):
+    if os.path.isdir(_SRC_DIR):
+        # run make unconditionally: it is incremental, and skipping it
+        # when a stale .so exists would silently ignore source edits
         try:
             subprocess.run(["make", "-C", _SRC_DIR], check=True,
                            capture_output=True, timeout=120)
         except Exception:
-            return None
+            pass  # fall through: a previously built .so may still work
     if not os.path.exists(_SO):
         return None
     try:
@@ -46,11 +48,8 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.tsue_build_windows.restype = ctypes.c_int64
     lib.tsue_build_windows.argtypes = [
         f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_int64, ctypes.c_float, f32p, f32p, f32p, ctypes.c_int64]
-    lib.tsue_window_starts.restype = ctypes.c_int64
-    lib.tsue_window_starts.argtypes = [
-        f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_int64, ctypes.c_float, i64p, ctypes.c_int64]
+        ctypes.c_int64, ctypes.c_float, f32p, f32p, f32p, i64p,
+        ctypes.c_int64]
     _lib = lib
     return _lib
 
@@ -91,8 +90,6 @@ def build_track_windows(traj: np.ndarray, seq_len: int, out_len: int,
     starts = np.empty((max_w,), np.int64)
     c = lib.tsue_build_windows(traj, n, seq_len, out_len, stride,
                                min_range_x, in_out.reshape(-1),
-                               out_out.reshape(-1), stat.reshape(-1), max_w)
-    c2 = lib.tsue_window_starts(traj, n, seq_len, out_len, stride,
-                                min_range_x, starts, max_w)
-    assert c == c2, (c, c2)
+                               out_out.reshape(-1), stat.reshape(-1),
+                               starts, max_w)
     return in_out[:c], out_out[:c], stat[:c], starts[:c]

@@ -496,7 +496,8 @@ def run_stage1(cfg: ExperimentConfig, data_path: Optional[str] = None,
                out_dir: str = "runs", epochs: Optional[int] = None,
                export_path: Optional[str] = None,
                synthetic_tracks: int = 20,
-               generation_dump: Optional[str] = None) -> Dict:
+               generation_dump: Optional[str] = None,
+               tokenizer_path: Optional[str] = None) -> Dict:
     """Stage-1 MLLM LM fine-tune + generation eval
     (ref scripts/check_generation.py flow, training included)."""
     import dataclasses as dc
@@ -509,7 +510,7 @@ def run_stage1(cfg: ExperimentConfig, data_path: Optional[str] = None,
     seed_everything(cfg.train.seed)
     out_dir = os.path.join(out_dir, f"stage1_{cfg.name}")
     logger = MetricLogger(out_dir)
-    tokenizer = get_tokenizer()
+    tokenizer = get_tokenizer(tokenizer_path)
     dtr, dva, dte, raw = prepare_data(cfg, data_path, tokenizer,
                                       synthetic_tracks, return_tracks=True)
     llama_cfg = dc.replace(cfg.model.llama,
