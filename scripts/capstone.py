@@ -27,7 +27,8 @@ def main():
         from tsue_tpu.runner import run_stage2
         finish(run_stage2(cfg, args.data, args.out_dir, epochs=0,
                           restore_ckpt=args.ckpt,
-                          synthetic_tracks=args.synthetic_tracks))
+                          synthetic_tracks=args.synthetic_tracks,
+                          tokenizer_path=args.tokenizer))
 
 
 if __name__ == "__main__":
