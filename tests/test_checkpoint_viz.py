@@ -81,3 +81,20 @@ class TestViz:
         ]
         for p in paths:
             assert os.path.exists(p) and os.path.getsize(p) > 1000, p
+
+
+class TestTrainableOnlyCheckpoint:
+    def test_subset_save_and_merged_restore(self, tmp_path):
+        from tsue_tpu.train.checkpoint import BestCheckpointer
+        params = {"mllm": {"w": np.zeros(3, np.float32)},
+                  "ltsf": {"w": np.ones(3, np.float32)}}
+        bc = BestCheckpointer(str(tmp_path / "c"),
+                              trainable_filter=lambda p: "mllm" not in p)
+        assert bc.maybe_save(1.0, params)
+        # later params: both subtrees moved, but only ltsf was saved
+        later = {"mllm": {"w": np.full(3, 9.0, np.float32)},
+                 "ltsf": {"w": np.full(3, 5.0, np.float32)}}
+        out = bc.restore_best(target=later)
+        np.testing.assert_array_equal(out["ltsf"]["w"], np.ones(3))   # best
+        np.testing.assert_array_equal(out["mllm"]["w"],
+                                      np.full(3, 9.0))                 # kept

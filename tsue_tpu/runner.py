@@ -122,7 +122,14 @@ def run_stage2(cfg: ExperimentConfig, data_path: Optional[str] = None,
     state = TrainState.create(apply_fn, params, tx)
     train_step = jax.jit(make_train_step(cfg), donate_argnums=0)
     eval_step = jax.jit(make_eval_step(cfg))
-    ckpt = BestCheckpointer(os.path.join(out_dir, "ckpt"))
+    # best-val artifact = trainable params only: frozen subtrees never
+    # change, and pulling the full 1.3B tree off-device per save is
+    # minutes through a remote-tunnel TPU
+    from tsue_tpu.train.trainer import freeze_label
+    ckpt = BestCheckpointer(
+        os.path.join(out_dir, "ckpt"),
+        trainable_filter=lambda p: freeze_label(
+            p, cfg.train.freeze_regime) == "train")
     rng = jax.random.key(cfg.train.seed)
 
     n_epochs = epochs if epochs is not None else cfg.train.epochs
