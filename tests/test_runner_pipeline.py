@@ -45,3 +45,46 @@ def test_run_baseline_cv(tmp_path):
                      synthetic_tracks=8)
     assert m["K"] == 4
     assert m["min_ade"] <= m["test_ade"] + 1e-6
+
+
+def test_cv_metrics_sample_weighted(tmp_path):
+    """Pins the review fix: metrics are total-error/total-samples, immune
+    to the wrap-padded tail batch (17 windows -> batches of 16 + 1)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tsue_tpu.data import build_windows, make_synthetic_tracks
+    from tsue_tpu.eval.metrics import min_ade_fde_rmse
+    from tsue_tpu.models.baselines import cv_candidates
+    from tsue_tpu.runner import run_baseline
+    from tsue_tpu.data.schema import split_tracks
+
+    cfg = _tiny_cfg()
+    m = run_baseline("cv", cfg, None, str(tmp_path), eval_candidates=4,
+                     synthetic_tracks=8)
+    # recompute directly over the whole un-batched test split
+    tracks = make_synthetic_tracks(num_tracks=8, track_len=600,
+                                   vision_dim=cfg.data.vision_dim,
+                                   seed=cfg.data.split_seed)
+    _, _, te = split_tracks(tracks, seed=cfg.data.split_seed)
+    import dataclasses
+    dcfg = dataclasses.replace(cfg.data, use_text=False, use_vision=False)
+    dte = build_windows(te, dcfg)
+    bs = cfg.train.batch_size
+    assert len(dte) % bs != 0  # the scenario under test: ragged tail
+    # same per-batch keys as run_baseline, applied to the same batch splits,
+    # but weighted by hand over ALL samples
+    from tsue_tpu.data import BatchIterator
+    tot = np.zeros(3); n = 0.0
+    for i, b in enumerate(BatchIterator(dte, bs, shuffle=False,
+                                        seed=cfg.train.seed)):
+        b = {k: jnp.asarray(v) for k, v in b.items()}
+        cands = cv_candidates(b["traj_in"], dcfg.out_len,
+                              jax.random.key(i), 4, 0.1)
+        ms = min_ade_fde_rmse(cands, b["traj_out"], b["norm_stat"],
+                              b["valid"])
+        nv = float(b["valid"].sum())
+        tot += np.array([float(x) for x in ms]) * nv
+        n += nv
+    np.testing.assert_allclose(m["min_ade"], tot[0] / n, rtol=1e-6)
+    np.testing.assert_allclose(m["min_rmse"], tot[2] / n, rtol=1e-6)

@@ -290,18 +290,23 @@ def run_baseline(name: str, cfg: ExperimentConfig,
 
     if name == "cv":  # no training (ref baseline_cv.py)
         K = eval_candidates or 10
-        mins, ades, fdes = [], [], []
+        ade_sum = fde_sum = n_sum = 0.0
+        min_sums = np.zeros(3)
         for i, b in enumerate(_batches(dte, cfg, False)):
             b = _to_device(b)
             cands = cv_candidates(b["traj_in"], cfg.data.out_len,
                                   jax.random.key(i), K, 0.1)
-            mins.append([float(x) for x in min_ade_fde_rmse(
-                cands, b["traj_out"], b["norm_stat"], b["valid"])])
+            ms = min_ade_fde_rmse(cands, b["traj_out"], b["norm_stat"],
+                                  b["valid"])
             a, f = ade_fde(cands[:, 0], b["traj_out"], b["norm_stat"],
                            b["valid"])
-            ades.append(float(a)); fdes.append(float(f))
-        m = np.mean(mins, axis=0) if mins else [float("nan")] * 3
-        out = {"test_ade": float(np.mean(ades)), "test_fde": float(np.mean(fdes)),
+            nv = float(b["valid"].sum())
+            min_sums += np.array([float(x) for x in ms]) * nv
+            ade_sum += float(a) * nv; fde_sum += float(f) * nv; n_sum += nv
+        n = max(n_sum, 1.0)
+        m = min_sums / n if n_sum else [float("nan")] * 3
+        out = {"test_ade": ade_sum / n if n_sum else float("nan"),
+               "test_fde": fde_sum / n if n_sum else float("nan"),
                "min_ade": float(m[0]), "min_fde": float(m[1]),
                "min_rmse": float(m[2]), "K": K}
         logger.log(0, **out)
