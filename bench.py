@@ -114,7 +114,8 @@ def bench_mode(model, params, batch, K: int, mode: str, iters: int = 5):
 def main():
     import jax
     try:  # executable cache across bench runs (keyed by HLO)
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tsue")
+        from tsue_tpu.utils.jax_cache import cache_dir
+        jax.config.update("jax_compilation_cache_dir", cache_dir())
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass

@@ -45,6 +45,10 @@ def apply_overrides(cfg, args):
     if getattr(args, "platform", None):
         import jax
         jax.config.update("jax_platforms", args.platform)
+    # multi-host process-group init (ref torchrun+init_process_group,
+    # train.py:1044-1049); env-gated no-op on single-host runs
+    from tsue_tpu.parallel.mesh import initialize_distributed
+    initialize_distributed()
     tr = cfg.train
     if args.batch_size is not None:
         tr = dataclasses.replace(tr, batch_size=args.batch_size)

@@ -9,10 +9,16 @@ from _common import base_parser, finish
 def main():
     p = base_parser(__doc__)
     p.add_argument("--out", default="lane_roi_map.png")
+    p.add_argument("--roi", default=None,
+                   help="lane-ROI table: reference graph.py-format .py, "
+                        ".json, or .pkl (overrides --data)")
     args = p.parse_args()
-    from tsue_tpu.data.schema import load_tracks, make_synthetic_lane_roi
+    from tsue_tpu.data.schema import (load_lane_roi, load_tracks,
+                                      make_synthetic_lane_roi)
     from tsue_tpu.viz import plot_lane_roi_map
-    if args.data:
+    if args.roi:
+        roi = load_lane_roi(args.roi)
+    elif args.data:
         roi = load_tracks(args.data)[0]["lane_roi"]
     else:
         roi = make_synthetic_lane_roi()

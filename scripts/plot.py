@@ -9,13 +9,17 @@ def main():
     p = base_parser(__doc__)
     p.add_argument("--ckpt", default=None)
     p.add_argument("--max-samples", type=int, default=32)
+    p.add_argument("--roi", default=None,
+                   help="lane-ROI table: reference graph.py-format .py, "
+                        ".json, or .pkl (overrides the data/synthetic ROI)")
     args = p.parse_args()
     import jax
     import jax.numpy as jnp
     import numpy as np
     from tsue_tpu.config import get_preset
     from tsue_tpu.data import BatchIterator, get_tokenizer
-    from tsue_tpu.data.schema import make_synthetic_lane_roi, load_tracks
+    from tsue_tpu.data.schema import (load_lane_roi, load_tracks,
+                                      make_synthetic_lane_roi)
     from tsue_tpu.models.tsue import TrajectoryModel
     from tsue_tpu.runner import prepare_data
     from tsue_tpu.train.losses import denorm
@@ -53,8 +57,12 @@ def main():
                 break
         if len(samples) >= args.max_samples:
             break
-    roi = (load_tracks(args.data)[0]["lane_roi"] if args.data
-           else make_synthetic_lane_roi())
+    if args.roi:
+        roi = load_lane_roi(args.roi)
+    elif args.data:
+        roi = load_tracks(args.data)[0]["lane_roi"]
+    else:
+        roi = make_synthetic_lane_roi()
     path = plot_trajectories_over_map(samples, roi, args.out_dir)
     finish({"figure": path, "samples": len(samples)})
 

@@ -17,9 +17,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compile cache: the suite is compile-dominated on CPU
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tsue")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# persistent compile cache: the suite is compile-dominated on CPU.
+# Host-fingerprinted dir — stale AOT entries from another machine SIGILL.
+from tsue_tpu.utils.jax_cache import configure as _configure_cache
+_configure_cache(jax)
 assert jax.devices()[0].platform == "cpu", (
     "tests must run on the virtual CPU mesh, got " + str(jax.devices()[:1]))
 

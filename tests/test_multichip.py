@@ -1,0 +1,202 @@
+"""Multi-device correctness on the 8-device virtual CPU mesh (conftest).
+
+SURVEY.md §4 prescribes exercising pjit sharding without TPUs; the reference
+capability being covered is the DDP runtime (grad all-reduce, ref
+scripts/train.py:1044-1049,1127-1132) and the multihost eval gather (ref
+scripts/check_generation.py:359-369).
+
+- dp-only and dp×tp one-step equivalence vs a single device (same batch,
+  same rng → same loss and updated params, up to reduction-order noise);
+- TP partition-spec sanity for every Llama param;
+- the process_allgather eval-gather path;
+- the driver-facing dryrun entry, in-process (conftest already provisions
+  the mesh) — the subprocess re-exec path is what the driver exercises.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+import __graft_entry__ as graft
+from tsue_tpu.parallel.mesh import make_mesh, shard_batch
+from tsue_tpu.parallel.sharding import param_spec, shard_params, tree_shardings
+from tsue_tpu.train.trainer import TrainState, make_train_step
+
+
+def _tiny_setup(batch_size=8):
+    from tsue_tpu.models.tsue import TrajectoryModel
+    cfg = graft._flagship_cfg(vocab_size=384, tiny=True)
+    model = TrajectoryModel(cfg.model, cfg.data.seq_len, cfg.data.out_len)
+    batch = graft._make_batch(cfg, batch_size)
+    variables = model.init({"params": jax.random.key(0),
+                            "dropout": jax.random.key(1)}, batch, False)
+
+    def apply_fn(vs, b, det, rngs=None, **kw):
+        return model.apply(vs, b, det, rngs=rngs, **kw)
+
+    return cfg, model, apply_fn, variables["params"], batch
+
+
+def _one_step(cfg, apply_fn, params, batch):
+    """One train step with a plain-SGD transform: the updated params are
+    then an affine function of the gradients, so single-vs-multi-device
+    equality tests exactly the grad all-reduce (Adam would amplify
+    reduction-order noise on near-zero grads into sign flips; the full
+    make_optimizer path is covered by the dryrun test below)."""
+    import optax
+    state = TrainState.create(apply_fn, params, optax.sgd(1e-2))
+    step = jax.jit(make_train_step(cfg))
+    state, metrics = step(state, batch, jax.random.key(7))
+    return float(metrics["loss"]), jax.device_get(state.params)
+
+
+def _assert_updates_close(ref, other, orig, rel=1e-5):
+    """Updated-param trees must agree to ``rel`` of the GLOBAL update scale.
+
+    Elementwise rtol is wrong here: the synthetic denorm-MSE loss is ~5e5,
+    so f32 reduction-order noise has an absolute floor set by the dominant
+    gradient magnitudes — individual near-cancelling elements (e.g. biases)
+    carry that same absolute noise.  Measured single-vs-8-device diffs are
+    ~1e-7 of the max update; 1e-5 gives 100x headroom."""
+    leaves_r, treedef_r = jax.tree_util.tree_flatten(ref)
+    leaves_o, treedef_o = jax.tree_util.tree_flatten(other)
+    leaves_0 = jax.tree_util.tree_leaves(orig)
+    assert treedef_r == treedef_o
+    scale = max(float(np.max(np.abs(np.asarray(lr) - np.asarray(l0))))
+                for lr, l0 in zip(leaves_r, leaves_0))
+    assert scale > 0, "step did not move any param"
+    for lr, lo in zip(leaves_r, leaves_o):
+        d = float(np.max(np.abs(np.asarray(lr) - np.asarray(lo))))
+        assert d <= rel * scale + 1e-8, (d, rel * scale)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    return _tiny_setup()
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) >= 8
+    assert jax.devices()[0].platform == "cpu"
+
+
+def test_dp_step_matches_single_device(tiny):
+    cfg, model, apply_fn, params, batch = tiny
+    # single-device reference (mesh of one device)
+    ref_loss, ref_params = _one_step(cfg, apply_fn, params, batch)
+
+    mesh = make_mesh(model_parallel=1)          # 8-way pure DP
+    with mesh:
+        p = jax.device_put(params, NamedSharding(mesh, P()))
+        b = shard_batch(batch, mesh)
+        dp_loss, dp_params = _one_step(cfg, apply_fn, p, b)
+
+    assert np.isclose(ref_loss, dp_loss, rtol=1e-5), (ref_loss, dp_loss)
+    _assert_updates_close(ref_params, dp_params, params)
+
+
+def test_dp_tp_step_matches_single_device(tiny):
+    cfg, model, apply_fn, params, batch = tiny
+    ref_loss, ref_params = _one_step(cfg, apply_fn, params, batch)
+
+    mesh = make_mesh(model_parallel=2)          # dp4 × tp2
+    with mesh:
+        p = shard_params(params, mesh)
+        b = shard_batch(batch, mesh)
+        tp_loss, tp_params = _one_step(cfg, apply_fn, p, b)
+
+    assert np.isclose(ref_loss, tp_loss, rtol=1e-5), (ref_loss, tp_loss)
+    _assert_updates_close(ref_params, tp_params, params)
+
+
+def test_llama_param_specs_cover_tp_rules():
+    """Every Llama projection gets its Megatron-style spec; tp=2 divides."""
+    from tsue_tpu.config import LlamaConfig
+    from tsue_tpu.models.llama import LlamaModel
+
+    cfg = LlamaConfig.tiny()
+    model = LlamaModel(cfg)
+    ids = jnp.zeros((2, 8), jnp.int32)
+    params = model.init({"params": jax.random.key(0)}, input_ids=ids,
+                        attention_mask=jnp.ones_like(ids))["params"]
+    mesh = make_mesh(model_parallel=2)
+    shardings = tree_shardings(params, mesh)
+
+    expected = {
+        ("q_proj", "kernel"): P(None, "model"),
+        ("k_proj", "kernel"): P(None, "model"),
+        ("v_proj", "kernel"): P(None, "model"),
+        ("o_proj", "kernel"): P("model", None),
+        ("gate_proj", "kernel"): P(None, "model"),
+        ("up_proj", "kernel"): P(None, "model"),
+        ("down_proj", "kernel"): P("model", None),
+        ("q_proj", "lora_b"): P(None, "model"),
+        ("v_proj", "lora_b"): P(None, "model"),
+        ("embed_tokens", "embedding"): P(None, "model"),
+    }
+    flat_p = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_s = jax.tree_util.tree_leaves(shardings)
+    seen = set()
+    for (path, leaf), sh in zip(flat_p, flat_s):
+        strs = tuple(str(getattr(p, "key", p)) for p in path)
+        suffix = strs[-2:]
+        want = expected.get(suffix, P())
+        # spec as derived from the rules, pre-divisibility-fallback
+        assert param_spec(strs, leaf.ndim) == want, (strs, sh.spec, want)
+        if suffix in expected:
+            seen.add(suffix)
+            # tp=2 must actually divide these dims in the tiny config:
+            # the rule should survive the divisibility guard
+            assert sh.spec == want, (strs, sh.spec, want)
+            for dim, axis in enumerate(want):
+                if axis is not None:
+                    assert leaf.shape[dim] % 2 == 0, (strs, leaf.shape)
+    assert seen == set(expected), f"rules never matched: {set(expected)-seen}"
+
+
+def test_shard_params_divisibility_fallback():
+    """An axis tp doesn't divide must fall back to replication, not crash."""
+    mesh = make_mesh(model_parallel=8)
+    x = jnp.ones((4, 6))   # 6 % 8 != 0
+    sharded = shard_params({"llama": {"q_proj": {"kernel": x}}}, mesh)
+    sh = sharded["llama"]["q_proj"]["kernel"].sharding
+    assert sh.spec == P()
+
+
+def test_process_allgather_eval_gather():
+    """The eval gather path (generation.py:152-158).  Single-process, so the
+    gather must be an identity-shaped no-op over mesh-sharded arrays."""
+    from jax.experimental import multihost_utils
+    rows = np.arange(64, dtype=np.int32).reshape(8, 8)
+    out = multihost_utils.process_allgather(rows)
+    np.testing.assert_array_equal(np.concatenate(np.atleast_3d(out))
+                                  if out.ndim == 3 else out, rows)
+
+
+def test_dryrun_multichip_inprocess():
+    """conftest provisions 8 CPU devices, so the driver entry runs the
+    in-process path end-to-end (the subprocess path is covered by the
+    driver itself and by test_dryrun_subprocess_path)."""
+    graft.dryrun_multichip(8)
+
+
+def test_dryrun_asserts_when_too_few_devices():
+    with pytest.raises(AssertionError):
+        graft._dryrun_impl(1024)
+
+
+def test_initialize_distributed_single_process_noop(monkeypatch):
+    """CLI startup calls this (scripts/_common.py); without a multi-process
+    environment it must return False without touching jax.distributed."""
+    from tsue_tpu.parallel import mesh as M
+    for k in M._DIST_ENV_KEYS:
+        monkeypatch.delenv(k, raising=False)
+    assert M.initialize_distributed() is False
+    assert jax.process_count() == 1
+
+    # with a coordinator env var set it attempts init; already-running local
+    # backend makes that a caught no-op rather than a crash
+    monkeypatch.setenv("TSUE_DISTRIBUTED", "1")
+    M.initialize_distributed()
+    assert jax.process_count() == 1

@@ -9,6 +9,7 @@ from tsue_tpu.data.windowing import build_windows, WindowedDataset
 from tsue_tpu.data.tokenizer import ByteTokenizer, get_tokenizer
 from tsue_tpu.data.schema import (
     split_tracks,
+    load_lane_roi,
     make_synthetic_tracks,
     make_synthetic_lane_roi,
 )

@@ -46,6 +46,68 @@ def load_tracks(path: str) -> List[dict]:
     return data
 
 
+def load_lane_roi(path: str) -> Dict:
+    """Ingest a lane-ROI coordinate table in any of the formats the
+    reference ecosystem uses:
+
+    - ``.py``  — reference scripts/graph.py style: a module whose source
+      contains ``lane_roi = {...}`` as a literal (ref scripts/graph.py:7-216).
+      Parsed with ``ast.literal_eval`` on the assignment's AST node — the
+      file is never imported/executed.
+    - ``.json`` — the same nested dict serialized as JSON.
+    - ``.pkl``/``.pickle`` — either the dict itself or an all_data-style
+      track list whose first entry carries ``lane_roi``.
+
+    Returns {site: {zone: {lane: [[x, y], ...]}}} with validation.
+    """
+    import ast
+    import json
+
+    if path.endswith(".py"):
+        with open(path) as f:
+            tree = ast.parse(f.read(), filename=path)
+        roi = None
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Assign) and any(
+                    isinstance(t, ast.Name) and t.id == "lane_roi"
+                    for t in node.targets):
+                roi = ast.literal_eval(node.value)
+                break
+        if roi is None:
+            raise ValueError(f"no `lane_roi = {{...}}` literal in {path}")
+    elif path.endswith(".json"):
+        with open(path) as f:
+            roi = json.load(f)
+    elif path.endswith((".pkl", ".pickle")):
+        with open(path, "rb") as f:
+            data = pickle.load(f)
+        roi = (data[0].get("lane_roi") if isinstance(data, list) and data
+               else data)
+    else:
+        raise ValueError(f"unsupported lane-ROI format: {path} "
+                         "(want .py/.json/.pkl)")
+    _validate_lane_roi(roi, path)
+    return roi
+
+
+def _validate_lane_roi(roi, origin: str = "<roi>") -> None:
+    if not isinstance(roi, dict) or not roi:
+        raise ValueError(f"{origin}: lane_roi must be a non-empty dict")
+    for site, zones in roi.items():
+        if not isinstance(zones, dict):
+            raise ValueError(f"{origin}: site {site!r} must map to zones")
+        for zone, lanes in zones.items():
+            if not isinstance(lanes, dict):
+                raise ValueError(f"{origin}: zone {site}/{zone} must map "
+                                 "to lanes")
+            for lane, coords in lanes.items():
+                arr = np.asarray(coords, dtype=np.float64)
+                if arr.ndim != 2 or arr.shape[1] != 2 or arr.shape[0] < 3:
+                    raise ValueError(
+                        f"{origin}: lane {site}/{zone}/{lane} must be a "
+                        f"(N>=3, 2) coordinate list, got shape {arr.shape}")
+
+
 # ---------------------------------------------------------------------------
 # Synthetic fixtures
 # ---------------------------------------------------------------------------

@@ -186,9 +186,12 @@ def build_windows(tracks: Sequence[dict], cfg: DataConfig,
         win = cfg.seq_len + cfg.out_len
         if n < win:
             continue
-        tid = item.get("track_id", item.get("id", -1))
+        # keep the ORIGINAL id for the prompt text (the ref embeds e.g.
+        # 'unknown' verbatim, train.py:204); coerce to int only for the
+        # int32 track_id array
+        tid_raw = item.get("track_id", item.get("id", "unknown"))
         try:
-            tid = int(tid)
+            tid = int(tid_raw)
         except (TypeError, ValueError):
             tid = -1
 
@@ -200,7 +203,7 @@ def build_windows(tracks: Sequence[dict], cfg: DataConfig,
         # text: tokenize once per track (prompt depends only on track_id)
         if cfg.use_text and tokenizer is not None:
             prompt_ids = tokenizer.encode(
-                describe_prompt(tid, cfg.out_len, cfg.prompt_style),
+                describe_prompt(tid_raw, cfg.out_len, cfg.prompt_style),
                 max_length=cfg.max_length)
             answer_ids = tokenizer.encode(original_ctx,
                                           max_length=cfg.max_length)

@@ -91,7 +91,9 @@ def min_ade_fde_rmse(cands: jnp.ndarray, target: jnp.ndarray,
     dist = jnp.sqrt(sq + 1e-12)
     ade_k = dist.mean(axis=2)                 # (B, K)
     fde_k = dist[:, :, -1]
-    rmse_k = jnp.sqrt(sq.mean(axis=2) + 1e-12)
+    # ref divides the summed squared error by 2T (mean over coord AND time,
+    # test.py:1370): sq already sums the coord axis, so halve before sqrt
+    rmse_k = jnp.sqrt(sq.mean(axis=2) / 2.0 + 1e-12)
     mins = (ade_k.min(axis=1), fde_k.min(axis=1), rmse_k.min(axis=1))
     if valid is None:
         return tuple(m.mean() for m in mins)

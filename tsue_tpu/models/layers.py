@@ -45,7 +45,14 @@ class MHA(nn.Module):
     def attend(self, q_in, k, v, mask=None, is_causal=False,
                deterministic=True):
         q = self.q_proj(q_in)
-        out = dot_product_attention(q, k, v, mask=mask, is_causal=is_causal)
+        # torch nn.MultiheadAttention(dropout=p) drops the softmax PROBS;
+        # the surrounding torch TransformerEncoder/DecoderLayer additionally
+        # drops the attention OUTPUT (dropout1/dropout2) — self.drop below.
+        rng = (self.make_rng("dropout")
+               if not deterministic and self.dropout > 0.0 else None)
+        out = dot_product_attention(q, k, v, mask=mask, is_causal=is_causal,
+                                    dropout_rate=self.dropout,
+                                    dropout_rng=rng)
         out = self.o_proj(out)
         return self.drop(out, deterministic=deterministic)
 

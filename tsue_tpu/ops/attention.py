@@ -59,7 +59,10 @@ class attention_impl:
 def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           mask: Optional[jnp.ndarray] = None,
                           is_causal: bool = False,
-                          scale: Optional[float] = None) -> jnp.ndarray:
+                          scale: Optional[float] = None,
+                          dropout_rate: float = 0.0,
+                          dropout_rng: Optional[jax.Array] = None
+                          ) -> jnp.ndarray:
     """Scaled dot-product attention.
 
     Args:
@@ -68,6 +71,10 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
       mask: optional boolean (B, 1|H, Tq, Tk) or (B, Tk) key-validity mask;
             True = attend.
       is_causal: add causal masking (decoder LM).
+      dropout_rate/dropout_rng: dropout on the softmax probabilities (torch
+        nn.MultiheadAttention semantics); active only when both are set.
+        Training-time only — forces the XLA path (the flash kernel has no
+        probs-dropout; inference/eval never passes an rng).
     Returns: (B, Tq, H, Dh)
     """
     B, Tq, H, Dh = q.shape
@@ -80,14 +87,17 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
 
-    if _IMPL == "pallas":
+    use_dropout = dropout_rate > 0.0 and dropout_rng is not None
+    if _IMPL == "pallas" and not use_dropout:
         from tsue_tpu.ops.flash import flash_attention
         return flash_attention(q, k, v, mask=mask, is_causal=is_causal,
                                scale=scale)
-    return _xla_attention(q, k, v, mask, is_causal, scale)
+    return _xla_attention(q, k, v, mask, is_causal, scale,
+                          dropout_rate if use_dropout else 0.0, dropout_rng)
 
 
-def _xla_attention(q, k, v, mask, is_causal, scale):
+def _xla_attention(q, k, v, mask, is_causal, scale,
+                   dropout_rate=0.0, dropout_rng=None):
     B, Tq, H, Dh = q.shape
     Tk = k.shape[1]
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
@@ -101,4 +111,9 @@ def _xla_attention(q, k, v, mask, is_causal, scale):
         causal = jnp.tril(jnp.ones((Tq, Tk), dtype=bool), k=Tk - Tq)
         logits = jnp.where(causal[None, None], logits, neg)
     probs = jax.nn.softmax(logits, axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        # inverted dropout on attention weights (torch F.dropout semantics)
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
+                                    probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
     return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)

@@ -63,15 +63,29 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
-def initialize_distributed():
+_DIST_ENV_KEYS = ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                  "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+                  "TSUE_DISTRIBUTED")
+
+
+def initialize_distributed() -> bool:
     """Multi-host init (replaces torchrun + dist.init_process_group,
-    ref scripts/train.py:1044-1049).  On TPU pods jax.distributed picks up
-    the environment automatically; safe no-op when already initialized or
-    single-host."""
+    ref scripts/train.py:1044-1049).  Called by every CLI via
+    scripts/_common.py before first device use.
+
+    Deterministic no-op (returns False) unless a multi-process environment
+    is detected via env vars — probing ``jax.process_count()`` instead would
+    initialize the backend and break ``jax.distributed.initialize``, which
+    must run first.  Set TSUE_DISTRIBUTED=1 to force the attempt on pods
+    whose autodetection needs no coordinator address."""
+    import os
+    if not any(os.environ.get(k) for k in _DIST_ENV_KEYS):
+        return False
     try:
         jax.distributed.initialize()
+        return True
     except (RuntimeError, ValueError):
-        pass  # already initialized or single-process
+        return False  # already initialized
 
 
 def barrier(name: str = "barrier"):

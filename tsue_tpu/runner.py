@@ -152,8 +152,10 @@ def run_stage2(cfg: ExperimentConfig, data_path: Optional[str] = None,
             if ckpt.maybe_save(val_loss, state.params) and \
                     jax.process_count() > 1:
                 # disk ckpt lives on host 0 only; keep an in-memory copy so
-                # every process can restore the best params
-                best_params_mem = jax.tree.map(lambda x: x, state.params)
+                # every process can restore the best params.  Must be a REAL
+                # copy: train_step donates state, so aliased buffers from
+                # state.params get deleted on the next step.
+                best_params_mem = jax.tree.map(jnp.copy, state.params)
 
             # per-epoch qualitative sample (ref train.py:1226-1247, T7)
             if viz_every and epoch % viz_every == 0 and is_primary() \
