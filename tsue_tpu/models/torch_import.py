@@ -43,6 +43,22 @@ def _np(t):
     return np.asarray(t, dtype=np.float32)
 
 
+class _KeyRecorder(dict):
+    """Dict view that records every key read into ``consumed`` (mapped back
+    through ``origin`` to the original checkpoint key names).  Used by the
+    reference-checkpoint compatibility audit (tests/test_reference_ckpt_compat)
+    to prove every checkpoint key is mapped."""
+
+    def __init__(self, data, consumed: set, origin=None):
+        super().__init__(data)
+        self._consumed = consumed
+        self._origin = origin or {}
+
+    def __getitem__(self, k):
+        self._consumed.add(self._origin.get(k, k))
+        return super().__getitem__(k)
+
+
 def _j(prefix: str, rest: str) -> str:
     return f"{prefix}.{rest}" if prefix else rest
 
@@ -124,10 +140,17 @@ _PEFT_PREFIX_RE = re.compile(
     r"^llama_wrapper\.llama_model\.(?:base_model\.model\.)?")
 
 
-def convert_reference_llama(sd: Dict, num_layers: int) -> Dict:
-    """PEFT/HF llama keys inside the reference mllm -> flax llama subtree."""
+def convert_reference_llama(sd: Dict, num_layers: int,
+                            consumed: set | None = None) -> Dict:
+    """PEFT/HF llama keys inside the reference mllm -> flax llama subtree.
+
+    When ``consumed`` is given, every original checkpoint key whose tensor
+    ends up in the returned tree is added to it (tied ``lm_head.weight``
+    counts as consumed — it duplicates ``embed_tokens.weight``).
+    """
     # strip wrapper prefixes and PEFT decorations to plain HF names
     plain = {}
+    origin = {}
     lora = {}
     for k, v in sd.items():
         m = _PEFT_PREFIX_RE.match(k)
@@ -135,15 +158,24 @@ def convert_reference_llama(sd: Dict, num_layers: int) -> Dict:
             continue
         k2 = k[m.end():]
         if ".lora_A." in k2 or ".lora_B." in k2:
-            lora[k2] = v
+            lora[k2] = (k, v)
             continue
         k2 = k2.replace(".base_layer.", ".")
         plain[k2] = v
+        origin[k2] = k
     from tsue_tpu.models.llama_loader import convert_hf_state_dict
-    tree = convert_hf_state_dict(plain, num_layers)
+    if consumed is not None:
+        plain_view = _KeyRecorder(plain, consumed, origin)
+        # torch keeps tied weights under both names; embed_tokens is the one
+        # the converter reads, so its lm_head alias is covered by definition
+        if "lm_head.weight" in origin:
+            consumed.add(origin["lm_head.weight"])
+    else:
+        plain_view = plain
+    tree = convert_hf_state_dict(plain_view, num_layers)
     # graft LoRA adapters
     flat = traverse_util.flatten_dict(tree)
-    for k, v in lora.items():
+    for k, (orig_k, v) in lora.items():
         m = re.match(r"model\.layers\.(\d+)\.self_attn\.(\w+_proj)\."
                      r"lora_([AB])\.\w+\.weight", k)
         if not m:
@@ -151,21 +183,29 @@ def convert_reference_llama(sd: Dict, num_layers: int) -> Dict:
         i, proj, ab = int(m.group(1)), m.group(2), m.group(3)
         name = "lora_a" if ab == "A" else "lora_b"
         flat[("model", f"layer_{i}", "attn", proj, name)] = _np(v).T
+        if consumed is not None:
+            consumed.add(orig_k)
     return traverse_util.unflatten_dict(flat)
 
 
-def convert_reference_mllm(sd: Dict, qformer_cfg, llama_cfg) -> Dict:
-    """Full reference LlamaMultiModal state_dict -> MultiModalLLM params."""
+def convert_reference_mllm(sd: Dict, qformer_cfg, llama_cfg,
+                           consumed: set | None = None) -> Dict:
+    """Full reference LlamaMultiModal state_dict -> MultiModalLLM params.
+
+    ``consumed`` (optional set) collects every checkpoint key that was
+    mapped; the compat audit asserts ``set(sd) - consumed == set()``.
+    """
+    sd_view = _KeyRecorder(sd, consumed) if consumed is not None else sd
     out = {
         "qformer": convert_reference_qformer(
-            sd, qformer_cfg.hidden_size, qformer_cfg.num_heads,
+            sd_view, qformer_cfg.hidden_size, qformer_cfg.num_heads,
             qformer_cfg.num_encoder_layers, qformer_cfg.num_decoder_layers),
-        "vision_modality_embedding": _np(sd["vision_modality_embedding"]),
-        "text_modality_embedding": _np(sd["text_modality_embedding"]),
-        "llama": convert_reference_llama(sd, llama_cfg.num_layers),
+        "vision_modality_embedding": _np(sd_view["vision_modality_embedding"]),
+        "text_modality_embedding": _np(sd_view["text_modality_embedding"]),
+        "llama": convert_reference_llama(sd, llama_cfg.num_layers, consumed),
     }
     if "q_proj.weight" in sd:
-        out["q_proj"] = _linear(sd, "q_proj")
+        out["q_proj"] = _linear(sd_view, "q_proj")
     return out
 
 

@@ -190,12 +190,14 @@ def run_stage2(cfg: ExperimentConfig, data_path: Optional[str] = None,
 
 def evaluate(model, params, dte, cfg, mesh, eval_candidates: int = 0,
              viz_dir: Optional[str] = None,
-             candidate_mode: str = "fast") -> Dict:
+             candidate_mode: str = "fast", eval_seed: int = 1000) -> Dict:
     """Test loop (ref train.py:1256-1328 / test.py:1279-1396).
 
     candidate_mode: "fast" computes the MLLM context once per batch and
     vmaps only the stochastic forecaster; "parity" vmaps the whole
     stochastic model like the reference's train()-mode forwards.
+    eval_seed seeds the per-batch candidate dropout keys (the fast-vs-parity
+    study, scripts/study_fast_vs_parity.py, sweeps it).
     """
     # sample-weighted accumulation (the reference averages total error
     # over total samples; per-batch-mean averaging would overweight the
@@ -229,7 +231,7 @@ def evaluate(model, params, dte, cfg, mesh, eval_candidates: int = 0,
         fde_sum += float(f) * nv
         n_sum += nv
         if eval_candidates:
-            cands = cand_fn(params, batch, jax.random.key(1000 + i))
+            cands = cand_fn(params, batch, jax.random.key(eval_seed + i))
             ms = min_ade_fde_rmse(cands, batch["traj_out"],
                                   batch["norm_stat"], batch["valid"])
             min_sums += np.array([float(x) for x in ms]) * nv
