@@ -102,3 +102,61 @@ def test_gqa_via_entrypoint():
         A.set_attention_impl("xla")
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+class TestGQAPath:
+    """GQA-native XLA attention == explicit K/V repeat (float tolerance)."""
+
+    @pytest.mark.parametrize("hkv", [1, 2, 4])
+    def test_gqa_matches_repeat(self, hkv):
+        rng = np.random.default_rng(0)
+        tq, tk = 5, 9
+        q = jnp.asarray(rng.standard_normal((B, tq, H, D)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((B, tk, hkv, D)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, tk, hkv, D)), jnp.float32)
+        mask = jnp.asarray(rng.random((B, tk)) > 0.3)
+        kr = jnp.repeat(k, H // hkv, axis=2)
+        vr = jnp.repeat(v, H // hkv, axis=2)
+        for causal in (False, True):
+            ref = _xla_attention(q, kr, vr, mask, causal, D ** -0.5)
+            out = _xla_attention(q, k, v, mask, causal, D ** -0.5)
+            # same math; XLA may fuse the two graphs differently, so exact
+            # bitwise equality is not guaranteed — pin to float tolerance
+            np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                                       atol=1e-5, rtol=1e-5)
+
+    def test_gqa_dropout_same_randomness(self):
+        rng = np.random.default_rng(1)
+        q = jnp.asarray(rng.standard_normal((B, 4, H, D)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((B, 6, 2, D)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, 6, 2, D)), jnp.float32)
+        kr = jnp.repeat(k, H // 2, axis=2)
+        vr = jnp.repeat(v, H // 2, axis=2)
+        key = jax.random.key(7)
+        ref = _xla_attention(q, kr, vr, None, False, D ** -0.5, 0.25, key)
+        out = _xla_attention(q, k, v, None, False, D ** -0.5, 0.25, key)
+        # identical dropout mask (same key, same (B,H,Tq,Tk) probs shape)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_gqa_grads_match(self):
+        rng = np.random.default_rng(2)
+        q = jnp.asarray(rng.standard_normal((B, 4, H, D)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((B, 6, 2, D)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, 6, 2, D)), jnp.float32)
+
+        def loss_gqa(k, v):
+            return jnp.sum(_xla_attention(q, k, v, None, True, D ** -0.5) ** 2)
+
+        def loss_rep(k, v):
+            kr = jnp.repeat(k, H // 2, axis=2)
+            vr = jnp.repeat(v, H // 2, axis=2)
+            return jnp.sum(_xla_attention(q, kr, vr, None, True,
+                                          D ** -0.5) ** 2)
+
+        gk1, gv1 = jax.grad(loss_gqa, argnums=(0, 1))(k, v)
+        gk2, gv2 = jax.grad(loss_rep, argnums=(0, 1))(k, v)
+        np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk2),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gv1), np.asarray(gv2),
+                                   atol=1e-5, rtol=1e-5)

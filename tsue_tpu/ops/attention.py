@@ -82,13 +82,12 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if scale is None:
         scale = Dh ** -0.5
 
-    if Hkv != H:
-        rep = H // Hkv
-        k = jnp.repeat(k, rep, axis=2)
-        v = jnp.repeat(v, rep, axis=2)
-
     use_dropout = dropout_rate > 0.0 and dropout_rng is not None
     if _IMPL == "pallas" and not use_dropout:
+        if Hkv != H:  # the flash kernel wants equal head counts
+            rep = H // Hkv
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
         from tsue_tpu.ops.flash import flash_attention
         return flash_attention(q, k, v, mask=mask, is_causal=is_causal,
                                scale=scale)
@@ -99,9 +98,36 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 def _xla_attention(q, k, v, mask, is_causal, scale,
                    dropout_rate=0.0, dropout_rng=None):
     B, Tq, H, Dh = q.shape
-    Tk = k.shape[1]
+    Tk, Hkv = k.shape[1], k.shape[2]
+    if Hkv != H:
+        # GQA without materializing repeated K/V: fold the per-group query
+        # heads into the q axis of the dot.  q head h attends kv group
+        # h // rep — identical math (and head order) to jnp.repeat on K/V,
+        # but the cache is read once instead of rep times (the repeat is
+        # real HBM traffic in the decode hot loop: ~0.5 GB/step at Llama-1B
+        # dims, bs16, cache 208).
+        rep = H // Hkv
+        qg = q.reshape(B, Tq, Hkv, rep, Dh)
+        logits = jnp.einsum("bqhrd,bkhd->bhrqk", qg, k,
+                            preferred_element_type=jnp.float32) * scale
+        logits = logits.reshape(B, H, Tq, Tk)
+        return _finish_attention(
+            logits, k, v, mask, is_causal, dropout_rate, dropout_rng,
+            lambda probs: jnp.einsum(
+                "bhrqk,bkhd->bqhrd",
+                probs.reshape(B, Hkv, rep, Tq, Tk).astype(v.dtype),
+                v).reshape(B, Tq, H, Dh))
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
+    return _finish_attention(
+        logits, k, v, mask, is_causal, dropout_rate, dropout_rng,
+        lambda probs: jnp.einsum("bhqk,bkhd->bqhd",
+                                 probs.astype(v.dtype), v))
+
+
+def _finish_attention(logits, k, v, mask, is_causal, dropout_rate,
+                      dropout_rng, weighted_sum):
+    Tq, Tk = logits.shape[2], logits.shape[3]
     neg = jnp.finfo(logits.dtype).min
     if mask is not None:
         if mask.ndim == 2:            # (B, Tk) key-validity
@@ -116,4 +142,4 @@ def _xla_attention(q, k, v, mask, is_causal, scale,
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
                                     probs.shape)
         probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
-    return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+    return weighted_sum(probs)
