@@ -64,6 +64,21 @@ class TestProcessors:
                                                hlen, 3))
         assert np.isfinite(out).all()
 
+    def test_fused_topk_topp_matches_reference_chain(self):
+        """The (B,k)-sliced top-p + draw == full-vocab chain distribution."""
+        from tsue_tpu.ops.sampling import _top_p_mask_sorted
+        rng = np.random.default_rng(0)
+        logits = jnp.asarray(rng.standard_normal((3, 101)) * 3, jnp.float32)
+        k, pp = 13, 0.7
+        full = apply_top_p(apply_top_k(logits, k), pp)
+        probs_full = np.asarray(jax.nn.softmax(full, axis=-1))
+        vals, idx = jax.lax.top_k(logits, k)
+        vals = _top_p_mask_sorted(vals, pp)
+        probs_k = np.asarray(jax.nn.softmax(vals, axis=-1))
+        scattered = np.zeros_like(probs_full)
+        np.put_along_axis(scattered, np.asarray(idx), probs_k, axis=-1)
+        np.testing.assert_allclose(scattered, probs_full, atol=1e-6)
+
     def test_greedy_mode(self):
         logits = jnp.asarray([[0.1, 3.0, 0.2] + [0.0] * (V - 3)])
         hist, hlen = _hist([[0] * 4], [0])

@@ -106,10 +106,28 @@ def apply_top_p(logits: jnp.ndarray, p: float) -> jnp.ndarray:
     return jnp.where(logits >= thresh, logits, NEG_INF)
 
 
+def _top_p_mask_sorted(sorted_logits: jnp.ndarray, p: float) -> jnp.ndarray:
+    """apply_top_p on logits already sorted descending along -1."""
+    if p >= 1.0:
+        return sorted_logits
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = (cum - probs) < p                  # first token is always kept
+    return jnp.where(keep, sorted_logits, NEG_INF)
+
+
 def process_and_sample(logits: jnp.ndarray, rng: jax.Array,
                        token_history: jnp.ndarray, history_len: jnp.ndarray,
                        cfg: SamplingConfig) -> jnp.ndarray:
-    """Full processor chain -> next token ids (B,)."""
+    """Full processor chain -> next token ids (B,).
+
+    When top-k is active the top-p filter and the categorical draw run on
+    the (B, k) top slice instead of the full (B, V) row — identical
+    distribution (everything below the k-th logit is already NEG_INF-masked
+    and exp(NEG_INF - max) underflows to exactly 0 in f32), but it removes
+    a V-wide sort + softmax + draw from the decode hot loop (V = 128256
+    for real Llama; measured part of the per-step critical path).
+    """
     logits = logits.astype(jnp.float32)
     logits = apply_repetition_penalty(logits, token_history, history_len,
                                       cfg.repetition_penalty)
@@ -119,6 +137,10 @@ def process_and_sample(logits: jnp.ndarray, rng: jax.Array,
         return jnp.argmax(logits, axis=-1)
     if cfg.temperature != 1.0:
         logits = logits / cfg.temperature
-    logits = apply_top_k(logits, cfg.top_k)
+    if 0 < cfg.top_k < logits.shape[-1]:
+        vals, idx = jax.lax.top_k(logits, cfg.top_k)      # desc-sorted
+        vals = _top_p_mask_sorted(vals, cfg.top_p)
+        choice = jax.random.categorical(rng, vals, axis=-1)
+        return jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0]
     logits = apply_top_p(logits, cfg.top_p)
     return jax.random.categorical(rng, logits, axis=-1)
