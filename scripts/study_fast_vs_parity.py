@@ -55,7 +55,6 @@ def main():
         import jax
         jax.config.update("jax_platforms", args.platform)
 
-    from tsue_tpu.config import get_preset  # noqa: F401 (env hook parity)
     from tsue_tpu.data.tokenizer import get_tokenizer
     from tsue_tpu.models.tsue import TrajectoryModel
     from tsue_tpu.parallel.mesh import make_mesh

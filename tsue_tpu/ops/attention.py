@@ -112,7 +112,7 @@ def _xla_attention(q, k, v, mask, is_causal, scale,
                             preferred_element_type=jnp.float32) * scale
         logits = logits.reshape(B, H, Tq, Tk)
         return _finish_attention(
-            logits, k, v, mask, is_causal, dropout_rate, dropout_rng,
+            logits, mask, is_causal, dropout_rate, dropout_rng,
             lambda probs: jnp.einsum(
                 "bhrqk,bkhd->bqhrd",
                 probs.reshape(B, Hkv, rep, Tq, Tk).astype(v.dtype),
@@ -120,12 +120,12 @@ def _xla_attention(q, k, v, mask, is_causal, scale,
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
     return _finish_attention(
-        logits, k, v, mask, is_causal, dropout_rate, dropout_rng,
+        logits, mask, is_causal, dropout_rate, dropout_rng,
         lambda probs: jnp.einsum("bhqk,bkhd->bqhd",
                                  probs.astype(v.dtype), v))
 
 
-def _finish_attention(logits, k, v, mask, is_causal, dropout_rate,
+def _finish_attention(logits, mask, is_causal, dropout_rate,
                       dropout_rng, weighted_sum):
     Tq, Tk = logits.shape[2], logits.shape[3]
     neg = jnp.finfo(logits.dtype).min
