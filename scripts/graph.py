@@ -12,6 +12,11 @@ def main():
     p.add_argument("--roi", default=None,
                    help="lane-ROI table: reference graph.py-format .py, "
                         ".json, or .pkl (overrides --data)")
+    p.add_argument("--site", default=None,
+                   help="site key in the ROI table (default: auto when the "
+                        "table has exactly one site, else an error listing "
+                        "the available keys)")
+    p.add_argument("--zone", default=None, help="zone key (same defaulting)")
     args = p.parse_args()
     from tsue_tpu.data.schema import (load_lane_roi, load_tracks,
                                       make_synthetic_lane_roi)
@@ -22,7 +27,8 @@ def main():
         roi = load_tracks(args.data)[0]["lane_roi"]
     else:
         roi = make_synthetic_lane_roi()
-    path = plot_lane_roi_map(roi, args.out_dir, name=args.out)
+    path = plot_lane_roi_map(roi, args.out_dir, site=args.site,
+                             zone=args.zone, name=args.out)
     finish({"map": path})
 
 

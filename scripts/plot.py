@@ -12,6 +12,11 @@ def main():
     p.add_argument("--roi", default=None,
                    help="lane-ROI table: reference graph.py-format .py, "
                         ".json, or .pkl (overrides the data/synthetic ROI)")
+    p.add_argument("--site", default=None,
+                   help="site key in the ROI table (default: auto when the "
+                        "table has exactly one site, else an error listing "
+                        "the available keys)")
+    p.add_argument("--zone", default=None, help="zone key (same defaulting)")
     args = p.parse_args()
     import jax
     import jax.numpy as jnp
@@ -63,7 +68,8 @@ def main():
         roi = load_tracks(args.data)[0]["lane_roi"]
     else:
         roi = make_synthetic_lane_roi()
-    path = plot_trajectories_over_map(samples, roi, args.out_dir)
+    path = plot_trajectories_over_map(samples, roi, args.out_dir,
+                                      site=args.site, zone=args.zone)
     finish({"figure": path, "samples": len(samples)})
 
 

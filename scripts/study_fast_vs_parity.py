@@ -17,7 +17,6 @@ tests/test_fast_vs_parity.py pins a smaller version.
 
 Usage: python scripts/study_fast_vs_parity.py [--epochs 30] [--seeds 5]
 """
-import dataclasses
 import json
 import os
 
@@ -55,39 +54,21 @@ def main():
         import jax
         jax.config.update("jax_platforms", args.platform)
 
-    from tsue_tpu.data.tokenizer import get_tokenizer
-    from tsue_tpu.models.tsue import TrajectoryModel
     from tsue_tpu.parallel.mesh import make_mesh
-    from tsue_tpu.runner import (_batches, evaluate, prepare_data, run_stage2)
-    from tsue_tpu.train.checkpoint import BestCheckpointer
-    from tsue_tpu.utils.logging import seed_everything
-    import jax
-    import jax.numpy as jnp
+    from tsue_tpu.runner import evaluate, rebuild_for_eval, run_stage2
 
     cfg = midsize_cfg()
     epochs = args.epochs if args.epochs is not None else 30
     print(f"training mid-size stack jointly for {epochs} epochs...")
     run_stage2(cfg, args.data, args.out_dir, epochs=epochs,
                eval_candidates=0, save_viz=False,
-               synthetic_tracks=args.synthetic_tracks)
+               synthetic_tracks=args.synthetic_tracks,
+               tokenizer_path=args.tokenizer)
 
     # rebuild the identical model/data (same seeds => same split/windows)
-    seed_everything(cfg.train.seed)
-    tokenizer = get_tokenizer(args.tokenizer)
-    dtr, dva, dte = prepare_data(cfg, args.data, tokenizer,
-                                 args.synthetic_tracks)
-    model_cfg = cfg.model
-    if model_cfg.llama.vocab_size != tokenizer.vocab_size:
-        model_cfg = dataclasses.replace(
-            model_cfg, llama=dataclasses.replace(
-                model_cfg.llama, vocab_size=tokenizer.vocab_size))
-    model = TrajectoryModel(model_cfg, cfg.data.seq_len, cfg.data.out_len)
-    b0 = next(iter(_batches(dte, cfg, False)))
-    b0 = {k: jnp.asarray(v) for k, v in b0.items()}
-    variables = model.init({"params": jax.random.key(cfg.train.seed),
-                            "dropout": jax.random.key(1)}, b0, False)
-    ckpt_dir = os.path.join(args.out_dir, cfg.name, "ckpt")
-    params = BestCheckpointer(ckpt_dir).restore_best(variables["params"])
+    model, params, (_, _, dte) = rebuild_for_eval(
+        cfg, args.data, args.out_dir, tokenizer_path=args.tokenizer,
+        synthetic_tracks=args.synthetic_tracks)
 
     mesh = make_mesh(1)
     results = {"fast": [], "parity": []}

@@ -11,7 +11,6 @@ means agree within a small relative tolerance.  The full mid-size study
 results are tabulated in PARITY.md.
 """
 import dataclasses
-import os
 
 import numpy as np
 import pytest
@@ -25,13 +24,7 @@ K = 10
 
 @pytest.fixture(scope="module")
 def trained(tmp_path_factory):
-    import jax
-    import jax.numpy as jnp
-    from tsue_tpu.data.tokenizer import get_tokenizer
-    from tsue_tpu.models.tsue import TrajectoryModel
-    from tsue_tpu.runner import _batches, prepare_data, run_stage2
-    from tsue_tpu.train.checkpoint import BestCheckpointer
-    from tsue_tpu.utils.logging import seed_everything
+    from tsue_tpu.runner import rebuild_for_eval, run_stage2
 
     cfg = get_preset("train_18_30")
     cfg = dataclasses.replace(
@@ -49,17 +42,8 @@ def trained(tmp_path_factory):
     out_dir = str(tmp_path_factory.mktemp("fvp"))
     run_stage2(cfg, None, out_dir, epochs=6, eval_candidates=0,
                save_viz=False, synthetic_tracks=12)
-
-    seed_everything(cfg.train.seed)
-    tokenizer = get_tokenizer(None)
-    _, _, dte = prepare_data(cfg, None, tokenizer, 12)
-    model = TrajectoryModel(cfg.model, cfg.data.seq_len, cfg.data.out_len)
-    b0 = next(iter(_batches(dte, cfg, False)))
-    b0 = {k: jnp.asarray(v) for k, v in b0.items()}
-    variables = model.init({"params": jax.random.key(cfg.train.seed),
-                            "dropout": jax.random.key(1)}, b0, False)
-    ckpt_dir = os.path.join(out_dir, cfg.name, "ckpt")
-    params = BestCheckpointer(ckpt_dir).restore_best(variables["params"])
+    model, params, (_, _, dte) = rebuild_for_eval(cfg, None, out_dir,
+                                                  synthetic_tracks=12)
     return cfg, model, params, dte
 
 

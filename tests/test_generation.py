@@ -79,6 +79,25 @@ class TestProcessors:
         np.put_along_axis(scattered, np.asarray(idx), probs_k, axis=-1)
         np.testing.assert_allclose(scattered, probs_full, atol=1e-6)
 
+    def test_topk_boundary_ties_keep_hf_semantics(self):
+        """HF's TopKLogitsWarper keeps ALL tokens tied at the k-th logit;
+        the fused (B,k)-slice path must detect boundary ties and fall back,
+        so tied tokens outside the slice stay sampleable."""
+        k = 3
+        logits = np.full((1, V), -50.0, np.float32)
+        logits[0, 0], logits[0, 1] = 5.0, 4.0
+        logits[0, 2:6] = 3.0  # four-way tie at the k-th (3rd) logit
+        hist, hlen = _hist([[0] * 4], [0])
+        cfg = SamplingConfig(top_k=k, top_p=1.0, temperature=1.0,
+                             repetition_penalty=1.0, no_repeat_ngram_size=0)
+        fn = jax.jit(lambda r: process_and_sample(
+            jnp.asarray(logits), r, hist, hlen, cfg))
+        draws = {int(fn(jax.random.key(s))[0]) for s in range(300)}
+        assert draws <= {0, 1, 2, 3, 4, 5}
+        # every tied token is reachable — the k-slice alone holds only
+        # token 2, so hitting 3/4/5 proves the tie fallback engaged
+        assert {3, 4, 5} <= draws
+
     def test_greedy_mode(self):
         logits = jnp.asarray([[0.1, 3.0, 0.2] + [0.0] * (V - 3)])
         hist, hlen = _hist([[0] * 4], [0])

@@ -120,6 +120,26 @@ def test_render_figures_from_reference_format(tmp_path, roi_py):
     assert os.path.exists(out2) and os.path.getsize(out2) > 0
 
 
+def test_site_zone_selection_never_silently_empty(tmp_path):
+    """A table keyed other than 'Site C'/'A' must raise (naming the
+    available keys) or auto-select, never render a blank map."""
+    from tsue_tpu.viz import plot_lane_roi_map
+    roi = {"Site A": {"B": make_synthetic_lane_roi()["Site C"]["A"]}}
+    with pytest.raises(ValueError, match="Site A"):
+        plot_lane_roi_map(roi, str(tmp_path))  # default 'Site C' missing
+    # single-site/zone tables auto-select with site=None/zone=None
+    out = plot_lane_roi_map(roi, str(tmp_path), site=None, zone=None,
+                            image_size=(400, 400))
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+    # ambiguous: two sites, no explicit key
+    two = {"S1": roi["Site A"], "S2": roi["Site A"]}
+    with pytest.raises(ValueError, match="S1"):
+        plot_lane_roi_map(two, str(tmp_path), site=None, zone=None)
+    out2 = plot_lane_roi_map(two, str(tmp_path), site="S2", zone=None,
+                             image_size=(400, 400), name="s2.png")
+    assert os.path.exists(out2)
+
+
 def test_synthetic_roi_passes_validation(tmp_path):
     """The parametric fixture is itself a valid table in the same schema."""
     roi = make_synthetic_lane_roi()

@@ -189,14 +189,30 @@ def test_dryrun_asserts_when_too_few_devices():
 def test_initialize_distributed_single_process_noop(monkeypatch):
     """CLI startup calls this (scripts/_common.py); without a multi-process
     environment it must return False without touching jax.distributed."""
+    import pytest
     from tsue_tpu.parallel import mesh as M
-    for k in M._DIST_ENV_KEYS:
+    for k in M._DIST_ENV_KEYS + ("TSUE_DISTRIBUTED",):
         monkeypatch.delenv(k, raising=False)
+    monkeypatch.setattr(M, "_on_tpu_vm", lambda: False)
     assert M.initialize_distributed() is False
     assert jax.process_count() == 1
 
-    # with a coordinator env var set it attempts init; already-running local
-    # backend makes that a caught no-op rather than a crash
+    # TSUE_DISTRIBUTED=0 disables even when a coordinator env var is set
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "localhost:1234")
+    monkeypatch.setenv("TSUE_DISTRIBUTED", "0")
+    assert M.initialize_distributed() is False
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS")
+
+    # forcing on a host where init cannot succeed must raise loudly — a pod
+    # run silently degrading to independent single-host jobs trains garbage
     monkeypatch.setenv("TSUE_DISTRIBUTED", "1")
-    M.initialize_distributed()
+    with pytest.raises(RuntimeError, match="TSUE_DISTRIBUTED"):
+        M.initialize_distributed()
+    assert jax.process_count() == 1
+
+    # coordinator env var without the force flag: attempt, warn, continue
+    monkeypatch.delenv("TSUE_DISTRIBUTED")
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "localhost:1234")
+    with pytest.warns(UserWarning):
+        assert M.initialize_distributed() is False
     assert jax.process_count() == 1

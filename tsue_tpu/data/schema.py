@@ -81,8 +81,18 @@ def load_lane_roi(path: str) -> Dict:
     elif path.endswith((".pkl", ".pickle")):
         with open(path, "rb") as f:
             data = pickle.load(f)
-        roi = (data[0].get("lane_roi") if isinstance(data, list) and data
-               else data)
+        if isinstance(data, list) and data:
+            # all_data.pkl layout: list of track dicts carrying lane_roi
+            if not isinstance(data[0], dict):
+                raise ValueError(
+                    f"{path}: expected a list of track dicts, first entry "
+                    f"is {type(data[0]).__name__}")
+            roi = data[0].get("lane_roi")
+            if roi is None:
+                raise ValueError(
+                    f"{path}: first track dict has no 'lane_roi' key")
+        else:
+            roi = data
     else:
         raise ValueError(f"unsupported lane-ROI format: {path} "
                          "(want .py/.json/.pkl)")

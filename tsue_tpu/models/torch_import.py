@@ -166,10 +166,14 @@ def convert_reference_llama(sd: Dict, num_layers: int,
     from tsue_tpu.models.llama_loader import convert_hf_state_dict
     if consumed is not None:
         plain_view = _KeyRecorder(plain, consumed, origin)
-        # torch keeps tied weights under both names; embed_tokens is the one
-        # the converter reads, so its lm_head alias is covered by definition
-        if "lm_head.weight" in origin:
-            consumed.add(origin["lm_head.weight"])
+        # torch keeps tied weights under both names; the lm_head alias is
+        # covered by reading embed_tokens ONLY when the tensors really are
+        # tied — an untied lm_head would be silently dropped, and the audit
+        # must surface that, not paper over it
+        if "lm_head.weight" in origin and "model.embed_tokens.weight" in plain:
+            lm, emb = plain["lm_head.weight"], plain["model.embed_tokens.weight"]
+            if lm is emb or np.array_equal(_np(lm), _np(emb)):
+                consumed.add(origin["lm_head.weight"])
     else:
         plain_view = plain
     tree = convert_hf_state_dict(plain_view, num_layers)

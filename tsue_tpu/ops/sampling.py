@@ -127,6 +127,13 @@ def process_and_sample(logits: jnp.ndarray, rng: jax.Array,
     and exp(NEG_INF - max) underflows to exactly 0 in f32), but it removes
     a V-wide sort + softmax + draw from the decode hot loop (V = 128256
     for real Llama; measured part of the per-step critical path).
+
+    HF's TopKLogitsWarper keeps ALL tokens tied with the k-th logit, while
+    the (B, k) slice holds exactly k of them — so when extra ties exist
+    beyond the slice (realistic with bf16-matmul logits over V=128k) the
+    fast slice would change the distribution.  Ties are detected with one
+    V-wide compare (no sort) and such steps fall back via ``lax.cond`` to
+    the tie-keeping full-row chain, keeping exact HF semantics always.
     """
     logits = logits.astype(jnp.float32)
     logits = apply_repetition_penalty(logits, token_history, history_len,
@@ -139,8 +146,20 @@ def process_and_sample(logits: jnp.ndarray, rng: jax.Array,
         logits = logits / cfg.temperature
     if 0 < cfg.top_k < logits.shape[-1]:
         vals, idx = jax.lax.top_k(logits, cfg.top_k)      # desc-sorted
-        vals = _top_p_mask_sorted(vals, cfg.top_p)
-        choice = jax.random.categorical(rng, vals, axis=-1)
-        return jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0]
+        thresh = vals[..., -1:]                           # k-th logit
+        extra_ties = (jnp.sum(logits == thresh, axis=-1)
+                      > jnp.sum(vals == thresh, axis=-1))
+
+        def fast(r):
+            masked = _top_p_mask_sorted(vals, cfg.top_p)
+            choice = jax.random.categorical(r, masked, axis=-1)
+            return jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0]
+
+        def exact(r):
+            full = jnp.where(logits < thresh, NEG_INF, logits)
+            return jax.random.categorical(r, apply_top_p(full, cfg.top_p),
+                                          axis=-1)
+
+        return jax.lax.cond(jnp.any(extra_ties), exact, fast, rng)
     logits = apply_top_p(logits, cfg.top_p)
     return jax.random.categorical(rng, logits, axis=-1)

@@ -64,8 +64,18 @@ def is_primary() -> bool:
 
 
 _DIST_ENV_KEYS = ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
-                  "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
-                  "TSUE_DISTRIBUTED")
+                  "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES")
+
+# Cloud-TPU-VM device nodes: their presence means libtpu drives real local
+# chips, where jax.distributed.initialize() autodetects the coordinator via
+# the TPU metadata server (no env vars are set on plain GCE pods) and is a
+# safe no-op-equivalent on a single host (process_count stays 1).
+_TPU_DEVICE_GLOBS = ("/dev/accel*", "/dev/vfio/*")
+
+
+def _on_tpu_vm() -> bool:
+    import glob
+    return any(glob.glob(g) for g in _TPU_DEVICE_GLOBS)
 
 
 def initialize_distributed() -> bool:
@@ -73,19 +83,34 @@ def initialize_distributed() -> bool:
     ref scripts/train.py:1044-1049).  Called by every CLI via
     scripts/_common.py before first device use.
 
-    Deterministic no-op (returns False) unless a multi-process environment
-    is detected via env vars — probing ``jax.process_count()`` instead would
-    initialize the backend and break ``jax.distributed.initialize``, which
-    must run first.  Set TSUE_DISTRIBUTED=1 to force the attempt on pods
-    whose autodetection needs no coordinator address."""
+    The attempt is made when (a) TSUE_DISTRIBUTED=1 forces it (failure
+    raises — a pod run that silently degrades to independent single-host
+    jobs trains garbage), (b) a coordinator env var is present, or (c) the
+    host is a real TPU VM (GCE pods set NO env vars; JAX autodetects the
+    coordinator from the TPU metadata server).  TSUE_DISTRIBUTED=0 disables
+    everything.  Probing ``jax.process_count()`` instead would initialize
+    the backend and break ``jax.distributed.initialize``, which must run
+    first — hence env/device detection, not backend probing."""
     import os
-    if not any(os.environ.get(k) for k in _DIST_ENV_KEYS):
+    forced = os.environ.get("TSUE_DISTRIBUTED")
+    if forced == "0":
+        return False
+    if not (forced == "1" or any(os.environ.get(k) for k in _DIST_ENV_KEYS)
+            or _on_tpu_vm()):
         return False
     try:
         jax.distributed.initialize()
         return True
-    except (RuntimeError, ValueError):
-        return False  # already initialized
+    except Exception as e:
+        if forced == "1":
+            raise RuntimeError(
+                "TSUE_DISTRIBUTED=1 but jax.distributed.initialize() "
+                "failed; refusing to continue as a silent single-host "
+                f"job: {e}") from e
+        # already initialized, or single-host autodetection unavailable
+        import warnings
+        warnings.warn(f"jax.distributed.initialize() not used: {e}")
+        return False
 
 
 def barrier(name: str = "barrier"):

@@ -188,6 +188,49 @@ def run_stage2(cfg: ExperimentConfig, data_path: Optional[str] = None,
     return metrics
 
 
+def rebuild_for_eval(cfg: ExperimentConfig, data_path: Optional[str],
+                     out_dir: str, tokenizer_path: Optional[str] = None,
+                     synthetic_tracks: int = 40,
+                     mllm_ckpt: Optional[str] = None):
+    """Rebuild the model/data exactly as ``run_stage2`` did and restore its
+    best-val checkpoint.
+
+    Frozen-regime checkpoints store only the trainable subset, so the init
+    here must reproduce run_stage2's init bit-for-bit (same seeds, same
+    tokenizer-driven vocab, same dtype cast, same mllm import) for the
+    frozen subtree to be correct.  Returns (model, params, (dtr, dva, dte)).
+    Used by the post-training eval flows (scripts/study_fast_vs_parity.py,
+    tests/test_fast_vs_parity.py).
+    """
+    seed_everything(cfg.train.seed)
+    tokenizer = get_tokenizer(tokenizer_path)
+    dtr, dva, dte = prepare_data(cfg, data_path, tokenizer, synthetic_tracks)
+    model_cfg = cfg.model
+    if model_cfg.llama.vocab_size != tokenizer.vocab_size and \
+            model_cfg.use_llm:
+        model_cfg = dataclasses.replace(
+            model_cfg, llama=dataclasses.replace(
+                model_cfg.llama, vocab_size=tokenizer.vocab_size))
+    model = TrajectoryModel(model_cfg, cfg.data.seq_len, cfg.data.out_len)
+    b0 = next(iter(_batches(dtr, cfg, False)))
+    b0 = {k: jnp.asarray(v) for k, v in b0.items()}
+    variables = model.init({"params": jax.random.key(cfg.train.seed),
+                            "dropout": jax.random.key(1)}, b0, False)
+    params = variables["params"]
+    if cfg.model.dtype == "bfloat16":
+        from tsue_tpu.utils.precision import cast_params
+        params = cast_params(params)
+    if mllm_ckpt:
+        params = import_mllm(params, mllm_ckpt)
+    from tsue_tpu.train.trainer import freeze_label
+    ckpt = BestCheckpointer(
+        os.path.join(out_dir, cfg.name, "ckpt"),
+        trainable_filter=lambda p: freeze_label(
+            p, cfg.train.freeze_regime) == "train")
+    params = ckpt.restore_best(params)
+    return model, params, (dtr, dva, dte)
+
+
 def evaluate(model, params, dte, cfg, mesh, eval_candidates: int = 0,
              viz_dir: Optional[str] = None,
              candidate_mode: str = "fast", eval_seed: int = 1000) -> Dict:

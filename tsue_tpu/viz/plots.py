@@ -121,8 +121,30 @@ def plot_xy_time(gt: np.ndarray, preds: Sequence[np.ndarray], save_dir: str,
     return _save(fig, save_dir, f"{prefix}_{idx}.png")
 
 
+def _select_zone(lane_roi: Dict, site: Optional[str],
+                 zone: Optional[str]) -> Dict:
+    """Resolve {site: {zone: {lane: coords}}} to one zone's lane dict.
+
+    ``site``/``zone`` None auto-select when the table has exactly one
+    entry at that level; a missing or ambiguous key raises naming the
+    available keys — a wrong key must never render a silently empty map.
+    """
+    def pick(table: Dict, key: Optional[str], level: str) -> Dict:
+        if key is None:
+            if len(table) == 1:
+                return next(iter(table.values()))
+            raise ValueError(f"ambiguous {level}: specify one of "
+                             f"{sorted(table)}")
+        if key not in table:
+            raise ValueError(f"{level} {key!r} not in ROI table; "
+                             f"available: {sorted(table)}")
+        return table[key]
+    return pick(pick(lane_roi, site, "site"), zone, "zone")
+
+
 def plot_lane_roi_map(lane_roi: Dict, save_dir: str,
-                      site: str = "Site C", zone: str = "A",
+                      site: Optional[str] = "Site C",
+                      zone: Optional[str] = "A",
                       name: str = "lane_roi_map.png",
                       transparent: bool = True,
                       image_size=(3840, 1280)) -> str:
@@ -130,7 +152,7 @@ def plot_lane_roi_map(lane_roi: Dict, save_dir: str,
     fig, ax = plt.subplots(figsize=(12, 4))
     cmap = plt.get_cmap("tab10")
     for i, (lane, coords) in enumerate(
-            sorted(lane_roi.get(site, {}).get(zone, {}).items())):
+            sorted(_select_zone(lane_roi, site, zone).items())):
         poly = np.asarray(coords, dtype=float)
         if not len(poly):
             continue
@@ -147,12 +169,13 @@ def plot_lane_roi_map(lane_roi: Dict, save_dir: str,
 
 def plot_trajectories_over_map(samples: Sequence[Dict], lane_roi: Dict,
                                save_dir: str, name: str = "all_trajectories.png",
-                               site: str = "Site C", zone: str = "A",
+                               site: Optional[str] = "Site C",
+                               zone: Optional[str] = "A",
                                image_size=(3840, 1280)) -> str:
     """Publication figure: every sample's past/GT/pred over the ROI map
     (ref scripts/plot.py:1019-1078).  samples: dicts with past/gt/pred."""
     fig, ax = plt.subplots(figsize=(14, 5))
-    for lane, coords in sorted(lane_roi.get(site, {}).get(zone, {}).items()):
+    for lane, coords in sorted(_select_zone(lane_roi, site, zone).items()):
         poly = np.asarray(coords, dtype=float)
         if len(poly):
             ax.fill(poly[:, 0], poly[:, 1], alpha=0.15, color="gray")
