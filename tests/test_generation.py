@@ -64,20 +64,60 @@ class TestProcessors:
                                                hlen, 3))
         assert np.isfinite(out).all()
 
+    @staticmethod
+    def _implied_probs(logits, k, p):
+        """Full-vocab distribution the sliced sampler draws from: slot
+        softmax scattered to token ids, tie-slot mass spread uniformly
+        over the first t_keep tied tokens (index order)."""
+        from tsue_tpu.ops.sampling import _topk_topp_slots
+        slot_logits, idx, t_keep, (mb, _) = _topk_topp_slots(
+            jnp.asarray(logits, jnp.float32), k, p)
+        V = np.asarray(logits).shape[-1]
+        is_tie = np.asarray(mb).reshape(mb.shape[0], -1)[:, :V]
+        sp = np.asarray(jax.nn.softmax(slot_logits, axis=-1))
+        out = np.zeros_like(np.asarray(logits, np.float64))
+        np.put_along_axis(out, np.asarray(idx), sp[:, :k], axis=-1)
+        for b in range(out.shape[0]):
+            tk = int(t_keep[b])
+            kept = np.where(is_tie[b])[0][:tk]
+            if len(kept):
+                out[b, kept] += sp[b, k] / tk
+        return out
+
     def test_fused_topk_topp_matches_reference_chain(self):
-        """The (B,k)-sliced top-p + draw == full-vocab chain distribution."""
-        from tsue_tpu.ops.sampling import _top_p_mask_sorted
+        """No boundary ties: the sliced sampler's implied distribution ==
+        the full-vocab apply_top_k -> apply_top_p -> softmax chain."""
         rng = np.random.default_rng(0)
         logits = jnp.asarray(rng.standard_normal((3, 101)) * 3, jnp.float32)
         k, pp = 13, 0.7
         full = apply_top_p(apply_top_k(logits, k), pp)
         probs_full = np.asarray(jax.nn.softmax(full, axis=-1))
-        vals, idx = jax.lax.top_k(logits, k)
-        vals = _top_p_mask_sorted(vals, pp)
-        probs_k = np.asarray(jax.nn.softmax(vals, axis=-1))
-        scattered = np.zeros_like(probs_full)
-        np.put_along_axis(scattered, np.asarray(idx), probs_k, axis=-1)
-        np.testing.assert_allclose(scattered, probs_full, atol=1e-6)
+        np.testing.assert_allclose(self._implied_probs(logits, k, pp),
+                                   probs_full, atol=1e-6)
+
+    def test_fused_topk_topp_tie_class_mass(self):
+        """Boundary ties: each kept tied token gets exactly exp(thresh)/Z
+        (HF per-token mass), the tie class total matches, and strictly-
+        above tokens keep their full-chain probabilities."""
+        logits = np.full((1, 50), -40.0, np.float32)
+        logits[0, 0], logits[0, 1] = 4.0, 3.0
+        logits[0, 10:18] = 2.0               # 8-way tie at the 3rd logit
+        k, pp = 3, 0.9
+        probs = self._implied_probs(jnp.asarray(logits), k, pp)[0]
+        e = np.exp(np.array([4.0, 3.0, 2.0]) - 4.0)
+        # the p-cutoff walks cumulative probs over the post-top-k mass
+        # (tie class counted in full, as HF's sorted cumsum does) ...
+        Z_full = e[0] + e[1] + 8 * e[2]      # HF keeps ALL 8 tied tokens
+        t_keep = int(np.ceil((pp * Z_full - e[0] - e[1]) / e[2]))
+        assert 0 < t_keep < 8                # the cutoff splits the class
+        # ... while the final draw renormalizes over the kept set
+        Z_kept = e[0] + e[1] + t_keep * e[2]
+        np.testing.assert_allclose(probs[0], e[0] / Z_kept, rtol=1e-5)
+        np.testing.assert_allclose(probs[1], e[1] / Z_kept, rtol=1e-5)
+        np.testing.assert_allclose(probs[10:10 + t_keep], e[2] / Z_kept,
+                                   rtol=1e-5)
+        assert np.all(probs[10 + t_keep:18] == 0)
+        np.testing.assert_allclose(probs.sum(), 1.0, rtol=1e-6)
 
     def test_topk_boundary_ties_keep_hf_semantics(self):
         """HF's TopKLogitsWarper keeps ALL tokens tied at the k-th logit;
