@@ -195,6 +195,42 @@ class TestGeneration:
         o3 = gen(vs, vision, ids, mask, jax.random.key(8))
         assert not np.array_equal(np.asarray(o1), np.asarray(o3))
 
+    def test_chunked_early_exit_matches_single_scan(self, gen_setup):
+        """The while_loop-over-chunks decode is bit-identical to the single
+        full-length scan for every chunking, including a non-dividing one
+        (buffers padded to whole chunks, output sliced back)."""
+        tok, mllm, vs, vision, ids, mask = gen_setup
+        outs = []
+        for chunk in (None, 4, 3, 10):
+            gen = make_generate_fn(mllm, SamplingConfig(), 10, ids.shape[1],
+                                   tok.eos_id, tok.pad_id,
+                                   early_exit_chunk=chunk)
+            outs.append(np.asarray(gen(vs, vision, ids, mask,
+                                       jax.random.key(11))))
+        for o in outs[1:]:
+            np.testing.assert_array_equal(outs[0], o)
+
+    def test_chunked_early_exit_stops_on_eos(self, gen_setup):
+        """With an EOS id every row samples immediately, the chunked decode
+        exits after the first chunk and still pads the full output."""
+        tok, mllm, vs, vision, ids, mask = gen_setup
+        # greedy with eos = the argmax token => every row finishes at step 1
+        cfg = SamplingConfig(do_sample=False, repetition_penalty=1.0,
+                             no_repeat_ngram_size=0)
+        gen_probe = make_generate_fn(mllm, cfg, 1, ids.shape[1],
+                                     eos_id=-1, pad_id=tok.pad_id)
+        first = np.asarray(gen_probe(vs, vision, ids, mask,
+                                     jax.random.key(0)))[:, 0]
+        eos = int(first[0])
+        if not (first == eos).all():
+            pytest.skip("rows disagree on the greedy first token")
+        gen = make_generate_fn(mllm, cfg, 12, ids.shape[1], eos_id=eos,
+                               pad_id=tok.pad_id, early_exit_chunk=4)
+        out = np.asarray(gen(vs, vision, ids, mask, jax.random.key(0)))
+        assert out.shape == (2, 12)
+        np.testing.assert_array_equal(out[:, 0], first)
+        assert (out[:, 1:] == tok.pad_id).all()
+
     def test_greedy_matches_uncached_forward(self, gen_setup):
         """1-step greedy decode == argmax over the uncached fused forward."""
         tok, mllm, vs, vision, ids, mask = gen_setup

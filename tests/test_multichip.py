@@ -197,22 +197,34 @@ def test_initialize_distributed_single_process_noop(monkeypatch):
     assert M.initialize_distributed() is False
     assert jax.process_count() == 1
 
-    # TSUE_DISTRIBUTED=0 disables even when a coordinator env var is set
+    # falsy TSUE_DISTRIBUTED disables even when a coordinator env var is set
     monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "localhost:1234")
-    monkeypatch.setenv("TSUE_DISTRIBUTED", "0")
-    assert M.initialize_distributed() is False
+    for off in ("0", "false", "NO", " off "):
+        monkeypatch.setenv("TSUE_DISTRIBUTED", off)
+        assert M.initialize_distributed() is False
     monkeypatch.delenv("JAX_COORDINATOR_ADDRESS")
 
     # forcing on a host where init cannot succeed must raise loudly — a pod
-    # run silently degrading to independent single-host jobs trains garbage
-    monkeypatch.setenv("TSUE_DISTRIBUTED", "1")
-    with pytest.raises(RuntimeError, match="TSUE_DISTRIBUTED"):
-        M.initialize_distributed()
+    # run silently degrading to independent single-host jobs trains garbage.
+    # Any truthy spelling forces (launch scripts export =true/=yes too).
+    for on in ("1", "true", "yes"):
+        monkeypatch.setenv("TSUE_DISTRIBUTED", on)
+        with pytest.raises(RuntimeError, match="TSUE_DISTRIBUTED"):
+            M.initialize_distributed()
     assert jax.process_count() == 1
 
-    # coordinator env var without the force flag: attempt, warn, continue
+    # a detected coordinator env var is an equally explicit multi-host
+    # signal: init failure must raise, not silently continue single-host
     monkeypatch.delenv("TSUE_DISTRIBUTED")
     monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "localhost:1234")
+    with pytest.raises(RuntimeError, match="JAX_COORDINATOR_ADDRESS"):
+        M.initialize_distributed()
+    assert jax.process_count() == 1
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS")
+
+    # TPU-VM device-file heuristic alone: warn-and-continue (single-host
+    # TPU VMs are routine; autodetection may legitimately be unavailable)
+    monkeypatch.setattr(M, "_on_tpu_vm", lambda: True)
     with pytest.warns(UserWarning):
         assert M.initialize_distributed() is False
     assert jax.process_count() == 1

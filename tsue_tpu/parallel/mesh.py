@@ -70,7 +70,11 @@ _DIST_ENV_KEYS = ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
 # chips, where jax.distributed.initialize() autodetects the coordinator via
 # the TPU metadata server (no env vars are set on plain GCE pods) and is a
 # safe no-op-equivalent on a single host (process_count stays 1).
-_TPU_DEVICE_GLOBS = ("/dev/accel*", "/dev/vfio/*")
+# /dev/accel* only: /dev/vfio/* also exists on ordinary Linux hosts with
+# the vfio module loaded (GPU passthrough etc.) and would false-positive.
+_TPU_DEVICE_GLOBS = ("/dev/accel*",)
+
+_FALSY = ("0", "false", "no", "off")
 
 
 def _on_tpu_vm() -> bool:
@@ -83,31 +87,42 @@ def initialize_distributed() -> bool:
     ref scripts/train.py:1044-1049).  Called by every CLI via
     scripts/_common.py before first device use.
 
-    The attempt is made when (a) TSUE_DISTRIBUTED=1 forces it (failure
-    raises — a pod run that silently degrades to independent single-host
-    jobs trains garbage), (b) a coordinator env var is present, or (c) the
+    The attempt is made when (a) TSUE_DISTRIBUTED is set truthy (any value
+    but 0/false/no/off), (b) a coordinator env var is present, or (c) the
     host is a real TPU VM (GCE pods set NO env vars; JAX autodetects the
-    coordinator from the TPU metadata server).  TSUE_DISTRIBUTED=0 disables
-    everything.  Probing ``jax.process_count()`` instead would initialize
-    the backend and break ``jax.distributed.initialize``, which must run
-    first — hence env/device detection, not backend probing."""
+    coordinator from the TPU metadata server).  For (a) and (b) — explicit
+    multi-host signals — an init failure RAISES: a pod run that silently
+    degrades to independent single-host jobs trains garbage (every host
+    would pass is_primary and write checkpoints over its local shard).
+    For the device-file heuristic (c) alone, failure warns and continues,
+    since single-host TPU VMs are routine.  TSUE_DISTRIBUTED set falsy
+    disables everything.  Probing ``jax.process_count()`` instead would
+    initialize the backend and break ``jax.distributed.initialize``, which
+    must run first — hence env/device detection, not backend probing."""
     import os
-    forced = os.environ.get("TSUE_DISTRIBUTED")
-    if forced == "0":
+    flag = os.environ.get("TSUE_DISTRIBUTED")
+    if flag is not None and flag.strip().lower() in _FALSY:
         return False
-    if not (forced == "1" or any(os.environ.get(k) for k in _DIST_ENV_KEYS)
-            or _on_tpu_vm()):
+    forced = flag is not None and flag.strip() != ""
+    env_detected = any(os.environ.get(k) for k in _DIST_ENV_KEYS)
+    if not (forced or env_detected or _on_tpu_vm()):
         return False
     try:
         jax.distributed.initialize()
         return True
     except Exception as e:
-        if forced == "1":
+        msg = str(e).lower()
+        if "already" in msg or "only be called once" in msg:
+            return True  # initialized earlier in this process — fine
+        if forced or env_detected:
+            which = ("TSUE_DISTRIBUTED" if forced else
+                     "/".join(k for k in _DIST_ENV_KEYS if os.environ.get(k)))
             raise RuntimeError(
-                "TSUE_DISTRIBUTED=1 but jax.distributed.initialize() "
-                "failed; refusing to continue as a silent single-host "
-                f"job: {e}") from e
-        # already initialized, or single-host autodetection unavailable
+                f"multi-host environment signalled by {which} but "
+                "jax.distributed.initialize() failed; refusing to continue "
+                f"as a silent single-host job: {e}") from e
+        # TPU-VM heuristic only: already initialized, or single-host
+        # autodetection unavailable — not an error
         import warnings
         warnings.warn(f"jax.distributed.initialize() not used: {e}")
         return False

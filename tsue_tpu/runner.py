@@ -93,24 +93,7 @@ def run_stage2(cfg: ExperimentConfig, data_path: Optional[str] = None,
         print(f"windows: train={len(dtr)} val={len(dva)} test={len(dte)}")
 
     mesh = make_mesh(cfg.mesh.model_parallel)
-    model_cfg = cfg.model
-    if model_cfg.llama.vocab_size != tokenizer.vocab_size and \
-            model_cfg.use_llm:
-        model_cfg = dataclasses.replace(
-            model_cfg, llama=dataclasses.replace(
-                model_cfg.llama, vocab_size=tokenizer.vocab_size))
-    model = TrajectoryModel(model_cfg, cfg.data.seq_len, cfg.data.out_len)
-
-    b0 = next(iter(_batches(dtr, cfg, False)))
-    b0 = {k: jnp.asarray(v) for k, v in b0.items()}
-    variables = model.init({"params": jax.random.key(cfg.train.seed),
-                            "dropout": jax.random.key(1)}, b0, False)
-    params = variables["params"]
-    if cfg.model.dtype == "bfloat16":
-        from tsue_tpu.utils.precision import cast_params
-        params = cast_params(params)
-    if mllm_ckpt:
-        params = import_mllm(params, mllm_ckpt)  # stage-1 handoff (T1)
+    model, params = build_model_and_params(cfg, dtr, tokenizer, mllm_ckpt)
     if restore_ckpt:  # eval-only flows (ref test.py:1273-1276)
         from tsue_tpu.train.checkpoint import restore_pytree
         params = restore_pytree(restore_ckpt, target=params)
@@ -188,23 +171,17 @@ def run_stage2(cfg: ExperimentConfig, data_path: Optional[str] = None,
     return metrics
 
 
-def rebuild_for_eval(cfg: ExperimentConfig, data_path: Optional[str],
-                     out_dir: str, tokenizer_path: Optional[str] = None,
-                     synthetic_tracks: int = 40,
-                     mllm_ckpt: Optional[str] = None):
-    """Rebuild the model/data exactly as ``run_stage2`` did and restore its
-    best-val checkpoint.
+def build_model_and_params(cfg: ExperimentConfig, dtr, tokenizer,
+                           mllm_ckpt: Optional[str] = None):
+    """Deterministic model construction + param init.
 
-    Frozen-regime checkpoints store only the trainable subset, so the init
-    here must reproduce run_stage2's init bit-for-bit (same seeds, same
-    tokenizer-driven vocab, same dtype cast, same mllm import) for the
-    frozen subtree to be correct.  Returns (model, params, (dtr, dva, dte)).
-    Used by the post-training eval flows (scripts/study_fast_vs_parity.py,
-    tests/test_fast_vs_parity.py).
+    The single shared recipe (tokenizer-driven vocab resize, init on the
+    first train batch with fixed PRNG keys, bf16 cast, optional stage-1
+    MLLM import) — ``run_stage2`` and ``rebuild_for_eval`` MUST both go
+    through here: frozen-regime checkpoints store only the trainable
+    subset, so a post-training rebuild reproduces the frozen subtree
+    correctly only if this init is bit-for-bit identical.
     """
-    seed_everything(cfg.train.seed)
-    tokenizer = get_tokenizer(tokenizer_path)
-    dtr, dva, dte = prepare_data(cfg, data_path, tokenizer, synthetic_tracks)
     model_cfg = cfg.model
     if model_cfg.llama.vocab_size != tokenizer.vocab_size and \
             model_cfg.use_llm:
@@ -221,7 +198,23 @@ def rebuild_for_eval(cfg: ExperimentConfig, data_path: Optional[str],
         from tsue_tpu.utils.precision import cast_params
         params = cast_params(params)
     if mllm_ckpt:
-        params = import_mllm(params, mllm_ckpt)
+        params = import_mllm(params, mllm_ckpt)  # stage-1 handoff (T1)
+    return model, params
+
+
+def rebuild_for_eval(cfg: ExperimentConfig, data_path: Optional[str],
+                     out_dir: str, tokenizer_path: Optional[str] = None,
+                     synthetic_tracks: int = 40,
+                     mllm_ckpt: Optional[str] = None):
+    """Rebuild the model/data exactly as ``run_stage2`` did and restore its
+    best-val checkpoint (shared init: ``build_model_and_params``).
+    Returns (model, params, (dtr, dva, dte)).  Used by the post-training
+    eval flows (scripts/study_fast_vs_parity.py, tests/test_fast_vs_parity.py).
+    """
+    seed_everything(cfg.train.seed)
+    tokenizer = get_tokenizer(tokenizer_path)
+    dtr, dva, dte = prepare_data(cfg, data_path, tokenizer, synthetic_tracks)
+    model, params = build_model_and_params(cfg, dtr, tokenizer, mllm_ckpt)
     from tsue_tpu.train.trainer import freeze_label
     ckpt = BestCheckpointer(
         os.path.join(out_dir, cfg.name, "ckpt"),
