@@ -206,9 +206,8 @@ def bench_train_step(cfg, model, params, batch, iters: int = 5):
 def main():
     import jax
     try:  # executable cache across bench runs (keyed by HLO)
-        from tsue_tpu.utils.jax_cache import cache_dir
-        jax.config.update("jax_compilation_cache_dir", cache_dir())
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        from tsue_tpu.utils.jax_cache import configure
+        configure(jax, min_secs=5.0)
     except Exception:
         pass
     dev = jax.devices()[0]

@@ -41,6 +41,29 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     return p
 
 
+def add_roi_args(p: argparse.ArgumentParser) -> None:
+    """--roi/--site/--zone for the lane-ROI viz CLIs (graph.py, plot.py)."""
+    p.add_argument("--roi", default=None,
+                   help="lane-ROI table: reference graph.py-format .py, "
+                        ".json, or .pkl (overrides the data/synthetic ROI)")
+    p.add_argument("--site", default=None,
+                   help="site key in the ROI table (default: auto when the "
+                        "table has exactly one site, else an error listing "
+                        "the available keys)")
+    p.add_argument("--zone", default=None, help="zone key (same defaulting)")
+
+
+def resolve_roi(args):
+    """ROI source precedence: --roi table > --data pickle > synthetic."""
+    from tsue_tpu.data.schema import (load_lane_roi, load_tracks,
+                                      make_synthetic_lane_roi)
+    if args.roi:
+        return load_lane_roi(args.roi)
+    if args.data:
+        return load_tracks(args.data)[0]["lane_roi"]
+    return make_synthetic_lane_roi()
+
+
 def apply_overrides(cfg, args):
     if getattr(args, "platform", None):
         import jax

@@ -2,29 +2,21 @@
 mirrors ref scripts/plot.py (which implicitly depended on graph.py's
 globals; here the ROI comes from the data or the synthetic map).
 """
-from _common import apply_overrides, base_parser, finish
+from _common import (add_roi_args, apply_overrides, base_parser, finish,
+                     resolve_roi)
 
 
 def main():
     p = base_parser(__doc__)
     p.add_argument("--ckpt", default=None)
     p.add_argument("--max-samples", type=int, default=32)
-    p.add_argument("--roi", default=None,
-                   help="lane-ROI table: reference graph.py-format .py, "
-                        ".json, or .pkl (overrides the data/synthetic ROI)")
-    p.add_argument("--site", default=None,
-                   help="site key in the ROI table (default: auto when the "
-                        "table has exactly one site, else an error listing "
-                        "the available keys)")
-    p.add_argument("--zone", default=None, help="zone key (same defaulting)")
+    add_roi_args(p)
     args = p.parse_args()
     import jax
     import jax.numpy as jnp
     import numpy as np
     from tsue_tpu.config import get_preset
     from tsue_tpu.data import BatchIterator, get_tokenizer
-    from tsue_tpu.data.schema import (load_lane_roi, load_tracks,
-                                      make_synthetic_lane_roi)
     from tsue_tpu.models.tsue import TrajectoryModel
     from tsue_tpu.runner import prepare_data
     from tsue_tpu.train.losses import denorm
@@ -62,13 +54,8 @@ def main():
                 break
         if len(samples) >= args.max_samples:
             break
-    if args.roi:
-        roi = load_lane_roi(args.roi)
-    elif args.data:
-        roi = load_tracks(args.data)[0]["lane_roi"]
-    else:
-        roi = make_synthetic_lane_roi()
-    path = plot_trajectories_over_map(samples, roi, args.out_dir,
+    path = plot_trajectories_over_map(samples, resolve_roi(args),
+                                      args.out_dir,
                                       site=args.site, zone=args.zone)
     finish({"figure": path, "samples": len(samples)})
 

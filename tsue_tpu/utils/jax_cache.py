@@ -29,8 +29,8 @@ def cache_dir() -> str:
     return f"/tmp/jax_cache_tsue_{_cpu_fingerprint()}"
 
 
-def configure(jax_module) -> None:
+def configure(jax_module, min_secs: float = 1.0) -> None:
     """Point jax's persistent compile cache at the fingerprinted dir."""
     jax_module.config.update("jax_compilation_cache_dir", cache_dir())
     jax_module.config.update("jax_persistent_cache_min_compile_time_secs",
-                             1.0)
+                             min_secs)
