@@ -216,7 +216,11 @@ def main():
     detail = {"device": str(dev),
               "model": "TSUE full (QFormer + Llama-3.2-1B bf16 + LTSF)",
               "config": "18->18, batch 64 (16 parity), K=10, text 512",
-              "reference_estimate_traj_per_sec": REFERENCE_TRAJ_PER_SEC_ESTIMATE}
+              "reference_estimate_traj_per_sec": REFERENCE_TRAJ_PER_SEC_ESTIMATE,
+              "measurement_note": ("shared-tunnel TPU; ambient throughput "
+                                   "varies up to ~30% between sessions - "
+                                   "cross-run deltas under that margin are "
+                                   "noise (PARITY.md)")}
 
     # --- headline: REAL Llama-3.2-1B vocab (128256, tied embeddings) -----
     # fast mode amortizes dispatch overhead at batch 64 (B=16 -> 40 t/s,
