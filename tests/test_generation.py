@@ -210,6 +210,15 @@ class TestGeneration:
         for o in outs[1:]:
             np.testing.assert_array_equal(outs[0], o)
 
+    def test_zero_max_new_tokens_returns_empty(self, gen_setup):
+        """max_new_tokens=0 must stay a harmless empty generation (callers
+        may compute the budget dynamically), not a build-time crash."""
+        tok, mllm, vs, vision, ids, mask = gen_setup
+        gen = make_generate_fn(mllm, SamplingConfig(), 0, ids.shape[1],
+                               tok.eos_id, tok.pad_id)
+        out = np.asarray(gen(vs, vision, ids, mask, jax.random.key(0)))
+        assert out.shape == (2, 0)
+
     def test_chunked_early_exit_stops_on_eos(self, gen_setup):
         """With an EOS id every row samples immediately, the chunked decode
         exits after the first chunk and still pads the full output."""

@@ -191,7 +191,8 @@ def test_initialize_distributed_single_process_noop(monkeypatch):
     environment it must return False without touching jax.distributed."""
     import pytest
     from tsue_tpu.parallel import mesh as M
-    for k in M._DIST_ENV_KEYS + ("TSUE_DISTRIBUTED",):
+    for k in M._COORD_ENV_KEYS + ("TPU_WORKER_HOSTNAMES",
+                                  "TSUE_DISTRIBUTED"):
         monkeypatch.delenv(k, raising=False)
     monkeypatch.setattr(M, "_on_tpu_vm", lambda: False)
     assert M.initialize_distributed() is False
@@ -221,6 +222,17 @@ def test_initialize_distributed_single_process_noop(monkeypatch):
         M.initialize_distributed()
     assert jax.process_count() == 1
     monkeypatch.delenv("JAX_COORDINATOR_ADDRESS")
+
+    # TPU_WORKER_HOSTNAMES with >1 host = real pod: failure raises ...
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-a,host-b")
+    with pytest.raises(RuntimeError, match="2 hosts"):
+        M.initialize_distributed()
+    # ... but the platform sets it even on single-host slices, where a
+    # failed autodetection must warn-and-continue, not brick the CLI
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-a")
+    with pytest.warns(UserWarning):
+        assert M.initialize_distributed() is False
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES")
 
     # TPU-VM device-file heuristic alone: warn-and-continue (single-host
     # TPU VMs are routine; autodetection may legitimately be unavailable)

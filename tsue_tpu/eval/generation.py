@@ -39,8 +39,11 @@ def make_generate_fn(mllm, cfg: SamplingConfig, max_new_tokens: int,
     (finished rows emit pad either way; the check is on-device, no host
     sync; pinned bit-identical on CPU in tests), and real generations that
     end early (the reference's answers finish well before max_new_tokens)
-    skip the remaining chunks entirely.  Worst-case overhead when nothing
-    exits early: ~1% (interleaved A/B, 1B model, v5e).  As with any
+    skip the remaining chunks entirely.  Chunks are rebalanced to
+    ceil(max_new/n_chunks) so a non-dividing chunk size wastes at most
+    n_chunks-1 padded steps; worst-case overhead when nothing exits early:
+    ~1% loop overhead + that padding (interleaved A/B, 1B model, v5e).
+    As with any
     program-shape change, XLA may fuse the two formulations differently,
     so sampled draws can flip where ulp-level logit shifts cross a
     sampling threshold.  ``None`` recovers the single full-length scan.
@@ -48,8 +51,10 @@ def make_generate_fn(mllm, cfg: SamplingConfig, max_new_tokens: int,
     n_img = mllm.qformer.num_query_tokens if mllm.use_vision else 0
     P = n_img + prompt_len
     chunk = early_exit_chunk or max_new_tokens
-    chunk = min(chunk, max_new_tokens)
+    chunk = max(1, min(chunk, max_new_tokens))     # max_new=0 -> chunk 1
     n_chunks = -(-max_new_tokens // chunk)
+    if n_chunks:  # balance: ceil(max_new/n) pads at most n-1 steps total
+        chunk = -(-max_new_tokens // n_chunks)
     total = n_chunks * chunk            # buffers padded to whole chunks
     cache_len = P + total
 
@@ -82,7 +87,7 @@ def make_generate_fn(mllm, cfg: SamplingConfig, max_new_tokens: int,
             return (caches, history, hlen, new_logits, rng, finished), tok
 
         init = (caches, history, hlen, logits0, rng, jnp.zeros((B,), bool))
-        if n_chunks == 1:
+        if n_chunks <= 1:  # includes max_new_tokens == 0: empty scan
             _, toks = jax.lax.scan(body, init, jnp.arange(max_new_tokens))
             return jnp.swapaxes(toks, 0, 1)               # (B, max_new)
 

@@ -63,23 +63,47 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
-_DIST_ENV_KEYS = ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
-                  "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES")
-
-# Cloud-TPU-VM device nodes: their presence means libtpu drives real local
-# chips, where jax.distributed.initialize() autodetects the coordinator via
-# the TPU metadata server (no env vars are set on plain GCE pods) and is a
-# safe no-op-equivalent on a single host (process_count stays 1).
-# /dev/accel* only: /dev/vfio/* also exists on ordinary Linux hosts with
-# the vfio module loaded (GPU passthrough etc.) and would false-positive.
-_TPU_DEVICE_GLOBS = ("/dev/accel*",)
+# Coordinator addresses only a user/launcher sets deliberately — an init
+# failure with one of these present must raise, never degrade silently.
+_COORD_ENV_KEYS = ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                   "MEGASCALE_COORDINATOR_ADDRESS")
 
 _FALSY = ("0", "false", "no", "off")
 
 
+def _multihost_worker_count() -> int:
+    """Hosts listed in TPU_WORKER_HOSTNAMES (set by the Cloud TPU platform
+    itself, even on single-host slices — NOT user intent on its own)."""
+    import os
+    names = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    return len([h for h in names.split(",") if h.strip()])
+
+
 def _on_tpu_vm() -> bool:
+    """TPU chips driven by this host?  /dev/accel* is the accel driver;
+    VFIO-based TPU runtimes expose /dev/vfio/* instead, but that node also
+    exists on ordinary hosts with the vfio module loaded (GPU passthrough),
+    so it only counts together with an installed libtpu."""
     import glob
-    return any(glob.glob(g) for g in _TPU_DEVICE_GLOBS)
+    import importlib.util
+    import os
+    if glob.glob("/dev/accel*"):
+        return True
+    if glob.glob("/dev/vfio/*"):
+        return (os.environ.get("TPU_LIBRARY_PATH") is not None
+                or importlib.util.find_spec("libtpu") is not None)
+    return False
+
+
+def _distributed_client_active() -> bool:
+    """Has jax.distributed.initialize() already succeeded in this process?
+    (Exception-message matching is unreliable: 'Address already in use' is
+    a genuine FAILURE that contains 'already'.)"""
+    try:
+        from jax._src import distributed
+        return distributed.global_state.client is not None
+    except Exception:
+        return False
 
 
 def initialize_distributed() -> bool:
@@ -88,41 +112,47 @@ def initialize_distributed() -> bool:
     scripts/_common.py before first device use.
 
     The attempt is made when (a) TSUE_DISTRIBUTED is set truthy (any value
-    but 0/false/no/off), (b) a coordinator env var is present, or (c) the
-    host is a real TPU VM (GCE pods set NO env vars; JAX autodetects the
-    coordinator from the TPU metadata server).  For (a) and (b) — explicit
-    multi-host signals — an init failure RAISES: a pod run that silently
-    degrades to independent single-host jobs trains garbage (every host
-    would pass is_primary and write checkpoints over its local shard).
-    For the device-file heuristic (c) alone, failure warns and continues,
-    since single-host TPU VMs are routine.  TSUE_DISTRIBUTED set falsy
-    disables everything.  Probing ``jax.process_count()`` instead would
-    initialize the backend and break ``jax.distributed.initialize``, which
-    must run first — hence env/device detection, not backend probing."""
+    but 0/false/no/off), (b) a coordinator address env var is present, (c)
+    TPU_WORKER_HOSTNAMES lists hosts, or (d) the host is a real TPU VM
+    (GCE pods set NO env vars; JAX autodetects the coordinator from the
+    TPU metadata server).  Failure handling by signal strength: (a), (b),
+    and a TPU_WORKER_HOSTNAMES with MORE THAN ONE host are explicit
+    multi-host signals — an init failure RAISES, because a pod run that
+    silently degrades to independent single-host jobs trains garbage
+    (every host would pass is_primary and write checkpoints over its local
+    shard).  A single-entry TPU_WORKER_HOSTNAMES (the platform sets it
+    even on routine single-host slices) and the device-file heuristic (d)
+    warn and continue.  TSUE_DISTRIBUTED set falsy disables everything.
+    Probing ``jax.process_count()`` instead would initialize the backend
+    and break ``jax.distributed.initialize``, which must run first — hence
+    env/device detection, not backend probing."""
     import os
     flag = os.environ.get("TSUE_DISTRIBUTED")
     if flag is not None and flag.strip().lower() in _FALSY:
         return False
+    if _distributed_client_active():
+        return True  # initialized earlier in this process — fine
     forced = flag is not None and flag.strip() != ""
-    env_detected = any(os.environ.get(k) for k in _DIST_ENV_KEYS)
-    if not (forced or env_detected or _on_tpu_vm()):
+    coord_set = [k for k in _COORD_ENV_KEYS if os.environ.get(k)]
+    n_workers = _multihost_worker_count()
+    if not (forced or coord_set or n_workers or _on_tpu_vm()):
         return False
     try:
         jax.distributed.initialize()
         return True
     except Exception as e:
-        msg = str(e).lower()
-        if "already" in msg or "only be called once" in msg:
-            return True  # initialized earlier in this process — fine
-        if forced or env_detected:
+        if _distributed_client_active():
+            return True  # double-call race: the backend IS distributed
+        if forced or coord_set or n_workers > 1:
             which = ("TSUE_DISTRIBUTED" if forced else
-                     "/".join(k for k in _DIST_ENV_KEYS if os.environ.get(k)))
+                     "/".join(coord_set) if coord_set else
+                     f"TPU_WORKER_HOSTNAMES ({n_workers} hosts)")
             raise RuntimeError(
                 f"multi-host environment signalled by {which} but "
                 "jax.distributed.initialize() failed; refusing to continue "
                 f"as a silent single-host job: {e}") from e
-        # TPU-VM heuristic only: already initialized, or single-host
-        # autodetection unavailable — not an error
+        # single-host TPU-VM signals only: autodetection may legitimately
+        # be unavailable (older libtpu, no metadata server) — not an error
         import warnings
         warnings.warn(f"jax.distributed.initialize() not used: {e}")
         return False
