@@ -210,10 +210,14 @@ def _topk_topp_slots(logits: jnp.ndarray, k: int, p: float):
     (mb, bs) tie blocks) — enough to both draw from and reconstruct the
     implied full-vocab distribution (see tests).
     """
-    vals, idx = jax.lax.top_k(logits, k)              # (B, k) desc
-    # keep the V-wide tie compare OUT of the top_k fusion: fused, XLA
-    # recomputes the sort per consumer tile (measured 1.8 ms vs 0.03 ms
-    # barriered, V=128256 B=16 on v5e)
+    # approx_max_k with recall 1.0 is exact (bit-identical vals AND idx to
+    # lax.top_k on f32, verified) and lowers to the TPU PartialReduce op
+    # instead of a full V-wide sort; interleaved in-scan A/Bs measure it
+    # equal to lax.top_k under contention and never worse.
+    vals, idx = jax.lax.approx_max_k(logits, k, recall_target=1.0)
+    # keep the V-wide tie compare OUT of the top-k fusion: fused, XLA
+    # recomputes the reduction per consumer tile (measured 1.8 ms vs
+    # 0.03 ms barriered, V=128256 B=16 on v5e)
     vals, idx = jax.lax.optimization_barrier((vals, idx))
     thresh = vals[..., -1:]                           # k-th logit (B,1)
     mx = vals[..., :1]                                # row max (B,1)
