@@ -83,15 +83,20 @@ def _on_tpu_vm() -> bool:
     """TPU chips driven by this host?  /dev/accel* is the accel driver;
     VFIO-based TPU runtimes expose /dev/vfio/* instead, but that node also
     exists on ordinary hosts with the vfio module loaded (GPU passthrough),
-    so it only counts together with an installed libtpu."""
+    so it only counts together with a Google PCI device (vendor 0x1ae0 —
+    TPU chips; a stale libtpu pip install on a vfio workstation must NOT
+    make every CLI startup probe the TPU metadata server)."""
     import glob
-    import importlib.util
-    import os
     if glob.glob("/dev/accel*"):
         return True
     if glob.glob("/dev/vfio/*"):
-        return (os.environ.get("TPU_LIBRARY_PATH") is not None
-                or importlib.util.find_spec("libtpu") is not None)
+        for p in glob.glob("/sys/bus/pci/devices/*/vendor"):
+            try:
+                with open(p) as f:
+                    if f.read().strip().lower() == "0x1ae0":
+                        return True
+            except OSError:
+                pass
     return False
 
 
@@ -141,8 +146,12 @@ def initialize_distributed() -> bool:
         jax.distributed.initialize()
         return True
     except Exception as e:
-        if _distributed_client_active():
-            return True  # double-call race: the backend IS distributed
+        # double call: the backend IS distributed.  The message check is a
+        # fallback for JAX versions where the private global_state moves;
+        # it matches ONLY the double-init phrasing (a genuine coordinator
+        # failure like 'Address already in use' does not contain it).
+        if _distributed_client_active() or "only be called once" in str(e):
+            return True
         if forced or coord_set or n_workers > 1:
             which = ("TSUE_DISTRIBUTED" if forced else
                      "/".join(coord_set) if coord_set else
