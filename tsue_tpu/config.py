@@ -184,9 +184,11 @@ PRESETS = {
     "test_18_18": _exp("test_18_18", 18, 18, eval_num_candidates=10),
     # scripts/test_10.py — 6->12
     "test_6_12": _exp("test_6_12", 6, 12, eval_num_candidates=10),
-    # scripts/seed_fix_train.py — joint training, 24->24, K=6
+    # scripts/seed_fix_train.py — joint training, 24->24, K=6; the script
+    # ships with epochs=3 (seed_fix_train.py args) — override with --epochs
     "seed_fix_24_24": _exp("seed_fix_24_24", 24, 24,
-                           freeze_regime="joint", eval_num_candidates=6),
+                           freeze_regime="joint", eval_num_candidates=6,
+                           epochs=3),
     # scripts/im_kim_train_GRN.py — joint end-to-end, 24->24 (QFormer 2+2)
     "joint_24_24": dataclasses.replace(
         _exp("joint_24_24", 24, 24, freeze_regime="joint"),
@@ -207,12 +209,32 @@ PRESETS = {
     "ablation_no_vision_18_6": dataclasses.replace(
         _exp("ablation_no_vision_18_6", 18, 6),
         model=ModelConfig(use_vision=False)),
-    # modify_scripts/modify.py — full-freeze, 30->6
+    # modify_scripts/modify.py — full-freeze, 30->6 (bs8, lr 1e-5,
+    # modify.py args dict)
     "full_freeze_30_6": _exp("full_freeze_30_6", 30, 6,
-                             freeze_regime="full_freeze"),
+                             freeze_regime="full_freeze",
+                             batch_size=8, lr=1e-5),
     # modify_scripts/modify_train.py — LoRA-only, 18->18, 500 epochs
+    # (bs8, lr 1e-5, modify_train.py args dict)
     "lora_only_18_18": _exp("lora_only_18_18", 18, 18,
-                            freeze_regime="lora_only", epochs=500),
+                            freeze_regime="lora_only", epochs=500,
+                            batch_size=8, lr=1e-5),
+    # scripts/modify_im_kim_train.py — im_kim joint variant with lr 1e-4
+    # and dropout 0.05 throughout (LoRA + forecaster); grad clip and
+    # norm_stat sanitation are framework defaults here
+    "im_kim_modified_24_24": dataclasses.replace(
+        _exp("im_kim_modified_24_24", 24, 24, freeze_regime="joint",
+             lr=1e-4),
+        model=ModelConfig(
+            llama=LlamaConfig(lora_dropout=0.05),
+            qformer=QFormerConfig(num_encoder_layers=2,
+                                  num_decoder_layers=2),
+            ltsf=LTSFConfig(dropout=0.05))),
+    # modify_scripts/test.py — debug-instrumented joint trainer, 18->30,
+    # bs8, lr 1e-5
+    "joint_debug_18_30": _exp("joint_debug_18_30", 18, 30,
+                              freeze_regime="joint", batch_size=8,
+                              lr=1e-5),
     # modify_scripts/ablation.py — clean MLLM-free pipeline, 18->18
     "mllm_free_18_18": dataclasses.replace(
         _exp("mllm_free_18_18", 18, 18),

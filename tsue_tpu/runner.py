@@ -508,14 +508,18 @@ def run_diffusion(cfg: ExperimentConfig, data_path: Optional[str] = None,
     vs = model.init({"params": jax.random.key(0)}, x0_init, cond_init)
     params = vs["params"]
     ema_params = jax.tree.map(jnp.copy, params)
-    tx = optax.adam(1e-4)
+    # ref: torch.optim.Adam(lr=diffusion_lr=1e-4, weight_decay=1e-4),
+    # capstone_project.py:1194-1196 — torch Adam's weight_decay is L2 added
+    # to the gradient BEFORE the moment estimates, hence decay-then-adam
+    # (optax.adamw would decay decoupled, after)
+    tx = optax.chain(optax.add_decayed_weights(1e-4), optax.adam(1e-4))
     opt_state = tx.init(params)
     step = jax.jit(make_diffusion_train_step(model, sched, tx, cfg_scale))
 
     def to_pm1(x):  # [0,1] -> [-1,1] (sampling clamps at +-1)
         return x * 2.0 - 1.0
 
-    n_epochs = epochs if epochs is not None else 50
+    n_epochs = epochs if epochs is not None else 20  # ref diffusion_epochs=20
     for epoch in range(n_epochs):
         tl, tn = 0.0, 0
         for b in _batches(dtr, cfg, True, epoch):
