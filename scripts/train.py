@@ -10,12 +10,17 @@ def main():
     p.add_argument("--preset", default="train_18_30")
     p.add_argument("--mllm-ckpt", default=None,
                    help="stage-1 MLLM checkpoint dir (import_mllm)")
+    p.add_argument("--viz-every", type=int, default=0,
+                   help="every N epochs: one val-sample plot + one "
+                        "generated context paragraph (ref "
+                        "scripts/train.py:1226-1247; 0 disables)")
     args = p.parse_args()
     from tsue_tpu.config import get_preset
     from tsue_tpu.runner import run_stage2
     cfg = apply_overrides(get_preset(args.preset), args)
     finish(run_stage2(cfg, args.data, args.out_dir, args.mllm_ckpt,
                       args.epochs, synthetic_tracks=args.synthetic_tracks,
+                      viz_every=args.viz_every,
                       tokenizer_path=args.tokenizer))
 
 

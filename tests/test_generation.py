@@ -121,8 +121,9 @@ class TestProcessors:
 
     def test_topk_boundary_ties_keep_hf_semantics(self):
         """HF's TopKLogitsWarper keeps ALL tokens tied at the k-th logit;
-        the fused (B,k)-slice path must detect boundary ties and fall back,
-        so tied tokens outside the slice stay sampleable."""
+        the branch-free fused path must keep tied tokens outside the
+        k-slice sampleable via the tie slot (the (k+1)-th categorical slot
+        carrying the kept tie mass + uniform pick among tied tokens)."""
         k = 3
         logits = np.full((1, V), -50.0, np.float32)
         logits[0, 0], logits[0, 1] = 5.0, 4.0
@@ -135,7 +136,7 @@ class TestProcessors:
         draws = {int(fn(jax.random.key(s))[0]) for s in range(300)}
         assert draws <= {0, 1, 2, 3, 4, 5}
         # every tied token is reachable — the k-slice alone holds only
-        # token 2, so hitting 3/4/5 proves the tie fallback engaged
+        # token 2, so hitting 3/4/5 proves the tie slot engaged
         assert {3, 4, 5} <= draws
 
     def test_greedy_mode(self):

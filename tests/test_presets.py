@@ -37,6 +37,9 @@ def test_golden_hyperparameters():
         assert c.train.lr == lr, name
         assert c.train.epochs == epochs, name
         assert c.train.weight_decay == 1e-4, name  # every ref AdamW uses it
+        # every reference args dict sets ltsf_nhead=2 (train.py:1360,
+        # modify_im_kim_train.py:941, modify_scripts/test.py:1082, ...)
+        assert c.model.ltsf.nhead == 2, name
 
 
 def test_im_kim_modified_dropout_and_depth():

@@ -92,7 +92,9 @@ class LTSFConfig:
     """LTSF-NLinear + self-attention forecaster (ref scripts/train.py:659-842)."""
     d_model: int = 64
     individual: bool = True
-    nhead: int = 1
+    # every reference args dict sets ltsf_nhead=2 (e.g. scripts/train.py:
+    # 1360, modify_scripts/test.py:1082) even though the class default is 1
+    nhead: int = 2
     dropout: float = 0.1
     polygon_embed_dim: int = 64
     use_post_mlp: bool = True

@@ -213,6 +213,115 @@ def convert_reference_mllm(sd: Dict, qformer_cfg, llama_cfg,
     return out
 
 
+# ---------------------------------------------------------------------------
+# Stage-2 full-model state_dict (MLLM + lane encoder + LTSF forecaster)
+# ---------------------------------------------------------------------------
+
+def _per_channel_linears(sd: Dict, prefix: str, channels: int) -> Dict:
+    """torch ModuleList of per-channel nn.Linear(T_in, T_out) ->
+    PerChannelLinear {kernel (C, T_in, T_out), bias (C, T_out)}.
+
+    The reference's ``individual=True`` NLinear keeps one Linear per
+    channel (ref scripts/train.py:703-709, 772-778); tsue_tpu batches them
+    into one einsum weight."""
+    ws = [_np(sd[f"{prefix}.{c}.weight"]).T for c in range(channels)]
+    bs = [_np(sd[f"{prefix}.{c}.bias"]) for c in range(channels)]
+    return {"kernel": np.stack(ws), "bias": np.stack(bs)}
+
+
+def convert_reference_lane_encoder(sd: Dict, lane_cfg,
+                                   prefix: str = "lane_polygon_encoder"
+                                   ) -> Dict:
+    """Ref LanePolygonEncoder (scripts/train.py:352-383) -> flax params."""
+    out = {"input_proj": _linear(sd, _j(prefix, "input_proj")),
+           "pos_embedding": _np(sd[_j(prefix, "pos_embedding")])}
+    for i in range(lane_cfg.num_layers):
+        out[f"block_{i}"] = convert_torch_encoder_layer(
+            sd, _j(prefix, f"encoder.layers.{i}"), lane_cfg.d_model,
+            lane_cfg.nhead)
+    return out
+
+
+def convert_reference_ltsf(sd: Dict, ltsf_cfg, cross_dim: int, seq_len: int,
+                           out_len: int, prefix: str = "ltsf",
+                           use_cross_attn: bool = True) -> Dict:
+    """Ref TransformerLTSF stack (scripts/train.py:659-842) -> flax params.
+
+    Maps: Conv1d(k=1) token_proj -> Dense; the per-channel NLinear
+    ModuleLists -> batched PerChannelLinear kernels; attn_block
+    (norm1/mha/ffn.0/ffn.3); decoder (decoder_linears, lane_fc,
+    post_mlp.0/.3, dec_proj/dec_unproj, cross_attn,
+    fusion_layer.0(LN)/.1/.3, out_proj)."""
+    C = ltsf_cfg.d_model
+    # Conv1d weight (C_out, C_in, 1) -> Dense kernel (C_in, C_out)
+    conv_w = _np(sd[_j(prefix, "token_proj.weight")])
+    out = {
+        "token_proj": {"kernel": conv_w[:, :, 0].T,
+                       "bias": _np(sd[_j(prefix, "token_proj.bias")])},
+        "nlinear_encoder": {"linears": _per_channel_linears(
+            sd, _j(prefix, "nlinear_encoder.encoder_linears"), C)},
+        "pos_encoding": _np(sd[_j(prefix, "pos_encoding")]),
+        "attn_block": {
+            "norm1": _norm(sd, _j(prefix, "attn_block.norm1")),
+            "norm2": _norm(sd, _j(prefix, "attn_block.norm2")),
+            "mha": _mha(sd, _j(prefix, "attn_block.mha"), C,
+                        ltsf_cfg.nhead),
+            "ffn1": _linear(sd, _j(prefix, "attn_block.ffn.0")),
+            "ffn2": _linear(sd, _j(prefix, "attn_block.ffn.3")),
+        },
+    }
+    dec = {
+        "linears": _per_channel_linears(
+            sd, _j(prefix, "decoder.decoder_linears"), C),
+        "lane_fc": _linear(sd, _j(prefix, "decoder.lane_fc")),
+        "post_mlp1": _linear(sd, _j(prefix, "decoder.post_mlp.0")),
+        "post_mlp2": _linear(sd, _j(prefix, "decoder.post_mlp.3")),
+        "fusion_ln": _norm(sd, _j(prefix, "decoder.fusion_layer.0")),
+        "fusion_fc1": _linear(sd, _j(prefix, "decoder.fusion_layer.1")),
+        "fusion_fc2": _linear(sd, _j(prefix, "decoder.fusion_layer.3")),
+        "out_proj": _linear(sd, _j(prefix, "decoder.out_proj")),
+    }
+    if use_cross_attn:
+        dec["dec_proj"] = _linear(sd, _j(prefix, "decoder.dec_proj"))
+        dec["dec_unproj"] = _linear(sd, _j(prefix, "decoder.dec_unproj"))
+        dec["cross_attn"] = _mha(sd, _j(prefix, "decoder.cross_attn"),
+                                 cross_dim, ltsf_cfg.cross_nhead)
+    out["decoder"] = dec
+    return out
+
+
+def convert_reference_stage2(sd: Dict, model_cfg, seq_len: int,
+                             out_len: int,
+                             consumed: set | None = None) -> Dict:
+    """Full stage-2 ``MultiModalTrajectoryModel`` state_dict ->
+    ``TrajectoryModel`` params.
+
+    The reference saves the whole model (lane_polygon_encoder + mllm +
+    ltsf) on val improvement (ref scripts/train.py:1219-1224:
+    ``torch.save(ddp_model.module.state_dict(), ...)``); this importer
+    lets such a checkpoint be evaluated here — the only route to a true
+    reference-vs-tsue ADE/FDE numeric parity check.
+
+    ``consumed`` (optional set) collects every checkpoint key that was
+    mapped; the compat audit asserts full coverage.
+    """
+    sd_view = _KeyRecorder(sd, consumed) if consumed is not None else sd
+    out = {"lane_encoder": convert_reference_lane_encoder(
+        sd_view, model_cfg.lane)}
+    if model_cfg.use_llm:
+        mllm_sd = {k[len("mllm."):]: v for k, v in sd.items()
+                   if k.startswith("mllm.")}
+        sub_consumed: set | None = set() if consumed is not None else None
+        out["mllm"] = convert_reference_mllm(
+            mllm_sd, model_cfg.qformer, model_cfg.llama, sub_consumed)
+        if consumed is not None:
+            consumed.update("mllm." + k for k in sub_consumed)
+    out["ltsf"] = convert_reference_ltsf(
+        sd_view, model_cfg.ltsf, model_cfg.llama.hidden_size, seq_len,
+        out_len, use_cross_attn=model_cfg.use_llm)
+    return out
+
+
 def merge_into(target_params: Dict, converted: Dict) -> Dict:
     """Shape-checked merge of a converted subtree over an init tree."""
     tgt = traverse_util.flatten_dict(target_params)

@@ -162,10 +162,12 @@ def process_and_sample(logits: jnp.ndarray, rng: jax.Array,
         # to the j-th tied token in index order.  Two-level select on the
         # 128-lane block sums: find the block holding the target-th tie,
         # then rank within that one block — no V-wide cumsum/argmax.
-        n_tie = bs.sum(axis=-1)
+        # clamp with t_keep-1, not n_tie-1: in the f32 edge where
+        # uniform*t_keep rounds up to t_keep, an n_tie clamp could pick a
+        # tied token beyond the kept top-p prefix (one HF filtered out)
         target = jnp.minimum(
             (jax.random.uniform(r_tie, (B,)) * t_keep).astype(jnp.int32),
-            jnp.maximum(n_tie - 1, 0))
+            jnp.maximum(t_keep.astype(jnp.int32) - 1, 0))
         cum_b = jnp.cumsum(bs, axis=-1)               # (B, nb) small
         blk = jnp.argmax(cum_b > target[:, None], axis=-1)
         rows = jnp.arange(B)

@@ -80,23 +80,23 @@ def _multihost_worker_count() -> int:
 
 
 def _on_tpu_vm() -> bool:
-    """TPU chips driven by this host?  /dev/accel* is the accel driver;
-    VFIO-based TPU runtimes expose /dev/vfio/* instead, but that node also
-    exists on ordinary hosts with the vfio module loaded (GPU passthrough),
-    so it only counts together with a Google PCI device (vendor 0x1ae0 —
-    TPU chips; a stale libtpu pip install on a vfio workstation must NOT
-    make every CLI startup probe the TPU metadata server)."""
+    """TPU chips driven by this host?  Device files alone are ambiguous:
+    /dev/accel* is also created by the Linux DRM compute-accelerator
+    subsystem (Intel NPU, Habana), and /dev/vfio/* exists on any host with
+    the vfio module loaded (GPU passthrough).  Either file only counts
+    together with a Google PCI device (vendor 0x1ae0 — TPU chips): a
+    non-TPU accelerator host must NOT make every CLI startup probe the
+    TPU metadata server and warn."""
     import glob
-    if glob.glob("/dev/accel*"):
-        return True
-    if glob.glob("/dev/vfio/*"):
-        for p in glob.glob("/sys/bus/pci/devices/*/vendor"):
-            try:
-                with open(p) as f:
-                    if f.read().strip().lower() == "0x1ae0":
-                        return True
-            except OSError:
-                pass
+    if not (glob.glob("/dev/accel*") or glob.glob("/dev/vfio/*")):
+        return False
+    for p in glob.glob("/sys/bus/pci/devices/*/vendor"):
+        try:
+            with open(p) as f:
+                if f.read().strip().lower() == "0x1ae0":
+                    return True
+        except OSError:
+            pass
     return False
 
 
@@ -142,8 +142,18 @@ def initialize_distributed() -> bool:
     n_workers = _multihost_worker_count()
     if not (forced or coord_set or n_workers or _on_tpu_vm()):
         return False
+    # Manual launches export JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/
+    # JAX_PROCESS_ID (the analogue of the reference's torchrun
+    # MASTER_PORT/WORLD_SIZE/LOCAL_RANK contract, ref scripts/train.py:
+    # 24-25,1044-1049).  This JAX build only auto-reads the coordinator
+    # address, so pass the rest explicitly when present.
+    kwargs = {}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if os.environ.get("JAX_PROCESS_ID"):
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(**kwargs)
         return True
     except Exception as e:
         # double call: the backend IS distributed.  The message check is a

@@ -95,8 +95,12 @@ def run_stage2(cfg: ExperimentConfig, data_path: Optional[str] = None,
     mesh = make_mesh(cfg.mesh.model_parallel)
     model, params = build_model_and_params(cfg, dtr, tokenizer, mllm_ckpt)
     if restore_ckpt:  # eval-only flows (ref test.py:1273-1276)
-        from tsue_tpu.train.checkpoint import restore_pytree
-        params = restore_pytree(restore_ckpt, target=params)
+        # frozen-regime best checkpoints hold only the trainable subtree;
+        # restore_merge reads the on-disk structure and merges it over the
+        # deterministic init (build_model_and_params reproduces the frozen
+        # subtree bit-for-bit)
+        from tsue_tpu.train.checkpoint import restore_merge
+        params = restore_merge(restore_ckpt, params)
 
     def apply_fn(vs, b, det, rngs=None, **kw):
         return model.apply(vs, b, det, rngs=rngs, **kw)
@@ -117,6 +121,7 @@ def run_stage2(cfg: ExperimentConfig, data_path: Optional[str] = None,
 
     n_epochs = epochs if epochs is not None else cfg.train.epochs
     best_params_mem = None
+    gen_cache: Dict = {}
     with mesh:
         for epoch in range(n_epochs):
             tl, tn = 0.0, 0
@@ -153,6 +158,16 @@ def run_stage2(cfg: ExperimentConfig, data_path: Optional[str] = None,
                     np.asarray(denorm(pred, ns))[0],
                     os.path.join(out_dir, "viz"),
                     prefix=f"epoch{epoch:04d}")
+                # per-epoch qualitative TEXT sample (ref train.py:1231-1241)
+                if cfg.model.use_llm and "input_ids" in vb:
+                    text = _epoch_text_sample(
+                        model, state.params, tokenizer, vb, gen_cache,
+                        jax.random.fold_in(jax.random.key(777), epoch))
+                    print(f"[epoch {epoch}] generated sample: {text}")
+                    with open(os.path.join(out_dir,
+                                           "generated_samples.txt"),
+                              "a") as f:
+                        f.write(f"[epoch {epoch}] {text}\n")
 
         # restore best before test (ref train.py:1249-1252)
         if n_epochs > 0 and ckpt.best_val < float("inf"):
@@ -169,6 +184,44 @@ def run_stage2(cfg: ExperimentConfig, data_path: Optional[str] = None,
     logger.log(n_epochs, **metrics)
     logger.close()
     return metrics
+
+
+def _epoch_text_sample(model, params, tokenizer, batch, cache, rng,
+                       max_new_tokens: int = 48) -> str:
+    """Generate one traffic-context paragraph from a val row (T7 parity:
+    the reference prints a generated sample each epoch on rank 0, ref
+    scripts/train.py:1231-1241).
+
+    ``cache`` holds the jitted generate fn across epochs (one compile).
+    Conditions on the PROMPT only — the answer span (labels != -100) is
+    masked out exactly like the stage-1 generation harness
+    (eval/generation.py distributed_generate_and_save).
+    """
+    from tsue_tpu.eval.generation import make_generate_fn, postprocess_text
+    from tsue_tpu.models.fusion import IGNORE_LABEL, MultiModalLLM
+    from tsue_tpu.ops.sampling import SamplingConfig
+
+    prompt_mask = np.asarray(batch["attention_mask"][:1])
+    if "labels" in batch:
+        prompt_mask = prompt_mask * (
+            np.asarray(batch["labels"][:1]) == IGNORE_LABEL)
+    ids = (np.asarray(batch["input_ids"][:1]) * prompt_mask).astype(np.int32)
+    if "gen" not in cache:
+        mcfg = model.cfg
+        dtype = jnp.bfloat16 if mcfg.dtype == "bfloat16" else jnp.float32
+        mllm = MultiModalLLM(llama=mcfg.llama, qformer=mcfg.qformer,
+                             use_vision=mcfg.use_vision, dtype=dtype)
+        cache["gen"] = make_generate_fn(
+            mllm, SamplingConfig(), max_new_tokens, ids.shape[1],
+            tokenizer.eos_id, tokenizer.pad_id)
+    vision = jnp.asarray(batch["vision"][:1]) if "vision" in batch else None
+    out = np.asarray(cache["gen"]({"params": params["mllm"]}, vision,
+                                  jnp.asarray(ids),
+                                  jnp.asarray(prompt_mask, jnp.int32), rng))
+    row = [int(t) for t in out[0] if t != tokenizer.pad_id]
+    if tokenizer.eos_id in row:
+        row = row[:row.index(tokenizer.eos_id)]
+    return postprocess_text(tokenizer.decode(row))
 
 
 def build_model_and_params(cfg: ExperimentConfig, dtr, tokenizer,

@@ -56,6 +56,55 @@ def restore_pytree(path: str, target: Optional[Any] = None) -> Any:
     return ckptr.restore(os.path.abspath(path))
 
 
+def checkpoint_tree_shapes(path: str) -> dict:
+    """Flat key-path -> stored shape for an on-disk checkpoint (orbax
+    metadata — no tensor reads)."""
+    meta = _checkpointer().metadata(os.path.abspath(path))
+    # orbax >= 0.6: StepMetadata.item_metadata.tree; older: the tree itself
+    tree = getattr(getattr(meta, "item_metadata", meta), "tree", meta)
+    return {k: tuple(getattr(v, "shape", ()) or ())
+            for k, v in traverse_util.flatten_dict(tree).items()}
+
+
+def restore_merge(path: str, target: Any) -> Any:
+    """Restore a checkpoint holding the full ``target`` tree OR any leaf
+    subset of it, merging restored leaves over ``target``.
+
+    Frozen-regime best checkpoints deliberately store only the trainable
+    subtree (``BestCheckpointer._subset``); the eval CLIs
+    (scripts/test.py, test_10.py, capstone.py — ref scripts/test.py:
+    1273-1276 load-best-then-test flow) don't know which regime produced
+    the artifact they are pointed at, so the on-disk structure is read
+    from checkpoint metadata and intersected with ``target``.  Keys on
+    disk that don't exist in ``target``, or whose stored shape differs
+    (e.g. an 18->30 forecaster checkpoint evaluated under an 18->18
+    preset), raise with the offending paths — the moral equivalent of the
+    reference's strict=True load (ref scripts/train.py:1137-1138)."""
+    shapes = checkpoint_tree_shapes(path)
+    tgt = traverse_util.flatten_dict(jax.tree.map(np.asarray, target))
+    extra = set(shapes) - set(tgt)
+    if extra:
+        raise ValueError(
+            f"checkpoint {path} holds {len(extra)} keys absent from the "
+            f"model tree (e.g. {sorted(extra)[:3]}); wrong preset/model "
+            "config for this artifact?")
+    bad = [(k, shapes[k], tuple(np.shape(tgt[k])))
+           for k in shapes if shapes[k] != tuple(np.shape(tgt[k]))]
+    if bad:
+        k, s_ck, s_tg = bad[0]
+        raise ValueError(
+            f"checkpoint {path}: {len(bad)} leaves have mismatched shapes "
+            f"(e.g. {'/'.join(map(str, k))}: stored {s_ck} vs model {s_tg})"
+            " — was the checkpoint trained under a different preset/"
+            "horizon?  Pass the training preset (e.g. --preset "
+            "train_18_30) to the eval CLI.")
+    sub = {k: tgt[k] for k in shapes}
+    restored = restore_pytree(path,
+                              target=traverse_util.unflatten_dict(sub))
+    tgt.update(traverse_util.flatten_dict(restored))
+    return traverse_util.unflatten_dict(tgt)
+
+
 class BestCheckpointer:
     """Best-val checkpoint protocol (ref scripts/train.py:1219-1224).
 
