@@ -155,9 +155,10 @@ class TestBatchIterator:
                             process_index=1, process_count=2)
         for bf, b0, b1 in zip(full, sh0, sh1):
             assert b0["traj_in"].shape[0] == 4
-            merged = np.empty_like(bf["traj_in"])
-            merged[0::2] = b0["traj_in"]
-            merged[1::2] = b1["traj_in"]
+            # CONTIGUOUS shards: concatenated process shards reproduce the
+            # single-process global batch row order exactly (this is what
+            # makes 2x4 == 1x8 bit-comparable, tests/test_two_process.py)
+            merged = np.concatenate([b0["traj_in"], b1["traj_in"]])
             np.testing.assert_array_equal(merged, bf["traj_in"])
 
     def test_epoch_reshuffle(self, small_windows):

@@ -30,7 +30,14 @@ def test_run_stage2_pipeline(tmp_path):
     m = run_stage2(cfg, None, str(tmp_path), epochs=2, eval_candidates=3,
                    viz_every=1, synthetic_tracks=8)
     assert m["test_ade"] > 0 and m["test_fde"] > 0
-    assert m["min_ade"] <= m["test_ade"] + 1e-6  # min over K can't be worse
+    # min over K STOCHASTIC (dropout-on) candidates need not beat the
+    # deterministic forward (and ref RMSE averages over coords AND time,
+    # so no ade<=rmse ordering either); pin finiteness + the only real
+    # invariant: rmse_k >= ade_k/sqrt(2) per candidate carries to mins
+    import math
+    assert all(math.isfinite(m[k]) and m[k] > 0
+               for k in ("min_ade", "min_fde", "min_rmse"))
+    assert m["min_rmse"] >= m["min_ade"] / (2 ** 0.5) - 1e-6
     root = tmp_path / cfg.name
     assert (root / "metrics.jsonl").exists()
     assert (root / "ckpt" / "best").exists()

@@ -97,8 +97,16 @@ class BatchIterator:
             sl = slice(b * self.batch_size, (b + 1) * self.batch_size)
             idx = perm[sl]
             vmask = valid_by_pos[sl]
-            # per-process strided shard (DistributedSampler-style)
-            shard = slice(self.process_index, None, self.process_count)
+            # per-process CONTIGUOUS shard: under a ("data", ...) mesh a
+            # process's local devices hold consecutive global batch
+            # positions, so contiguous slicing makes the assembled global
+            # batch row order IDENTICAL to a single-process run — training
+            # and per-row dropout are invariant to the process topology
+            # (tests/test_two_process.py pins 2x4 == 1x8).  The
+            # reference's DistributedSampler strides instead
+            # (ref scripts/train.py:1092-1098), which permutes rows.
+            lo = self.process_index * self.per_process
+            shard = slice(lo, lo + self.per_process)
             batch = self.ds.slice(idx[shard]).as_batch_dict()
             batch["valid"] = vmask[shard].astype(np.float32)
             yield batch

@@ -124,18 +124,22 @@ def run_stage2(cfg: ExperimentConfig, data_path: Optional[str] = None,
     gen_cache: Dict = {}
     with mesh:
         for epoch in range(n_epochs):
-            tl, tn = 0.0, 0
+            # per-step losses stay ON DEVICE during the epoch so step
+            # dispatch pipelines with host-side batch prep; the host
+            # fetches happen once per epoch on already-computed buffers
+            # (SURVEY §7 "zero host round-trips" — the reference .item()s
+            # every batch, ref scripts/train.py:1155-1183)
+            step_losses = []
             for batch in _batches(dtr, cfg, True, epoch):
                 state, m = train_step(state, _to_device(batch, mesh), rng)
-                tl += float(m["loss"]); tn += 1
-            vl, vn = 0.0, 0
-            for batch in _batches(dva, cfg, False):
-                vl += float(eval_step(state,
-                                      _to_device(batch, mesh))["loss"])
-                vn += 1
-            train_loss = tl / max(tn, 1)
+                step_losses.append(m["loss"])
+            val_losses = [eval_step(state, _to_device(batch, mesh))["loss"]
+                          for batch in _batches(dva, cfg, False)]
+            train_loss = (sum(float(x) for x in step_losses)
+                          / max(len(step_losses), 1))
             # empty val split: NaN (never "best") instead of a misleading 0
-            val_loss = vl / vn if vn else float("nan")
+            val_loss = (sum(float(x) for x in val_losses) / len(val_losses)
+                        if val_losses else float("nan"))
             logger.log(epoch, train_loss=train_loss, val_loss=val_loss)
             if ckpt.maybe_save(val_loss, state.params) and \
                     jax.process_count() > 1:
@@ -290,9 +294,10 @@ def evaluate(model, params, dte, cfg, mesh, eval_candidates: int = 0,
     """
     # sample-weighted accumulation (the reference averages total error
     # over total samples; per-batch-mean averaging would overweight the
-    # wrap-padded tail batch)
-    ade_sum = fde_sum = n_sum = 0.0
-    min_sums = np.zeros(3)
+    # wrap-padded tail batch).  Per-batch metric scalars stay on device
+    # until the loop ends so batch prep pipelines with device compute —
+    # the reference host-syncs every batch (ref scripts/test.py:1327-1368).
+    per_batch = []                 # [ade, fde, nv(, min_ade, min_fde, min_rmse)]
     first_batch = None
     first_pred = None
     first_cands = None
@@ -315,21 +320,38 @@ def evaluate(model, params, dte, cfg, mesh, eval_candidates: int = 0,
         # process computes identical fully-replicated scalars
         a, f = ade_fde(pred, batch["traj_out"], batch["norm_stat"],
                        batch["valid"])
-        nv = float(batch["valid"].sum())
-        ade_sum += float(a) * nv
-        fde_sum += float(f) * nv
-        n_sum += nv
+        entry = [a, f, batch["valid"].sum()]
         if eval_candidates:
             cands = cand_fn(params, batch, jax.random.key(eval_seed + i))
-            ms = min_ade_fde_rmse(cands, batch["traj_out"],
-                                  batch["norm_stat"], batch["valid"])
-            min_sums += np.array([float(x) for x in ms]) * nv
+            entry.extend(min_ade_fde_rmse(cands, batch["traj_out"],
+                                          batch["norm_stat"],
+                                          batch["valid"]))
             if first_cands is None and single_process:
-                first_cands = np.asarray(cands)
+                first_cands = cands
+        per_batch.append(entry)
         if first_batch is None and single_process:
-            # viz arrays are host-fetched; only valid single-process
-            first_batch = {k: np.asarray(v) for k, v in batch.items()}
-            first_pred = np.asarray(pred)
+            # viz arrays are host-fetched AFTER the loop; only valid
+            # single-process
+            first_batch = batch
+            first_pred = pred
+
+    # one host fetch over completed buffers (same arithmetic as the old
+    # per-batch float() accumulation: identical products, same order)
+    ade_sum = fde_sum = n_sum = 0.0
+    min_sums = np.zeros(3)
+    for entry in per_batch:
+        vals = [float(x) for x in entry]
+        nv = vals[2]
+        ade_sum += vals[0] * nv
+        fde_sum += vals[1] * nv
+        n_sum += nv
+        if eval_candidates:
+            min_sums += np.array(vals[3:6]) * nv
+    if first_batch is not None:
+        first_batch = {k: np.asarray(v) for k, v in first_batch.items()}
+        first_pred = np.asarray(first_pred)
+        if first_cands is not None:
+            first_cands = np.asarray(first_cands)
 
     n = max(n_sum, 1.0)
     out = {"test_ade": ade_sum / n if n_sum else float("nan"),
@@ -420,13 +442,14 @@ def run_baseline(name: str, cfg: ExperimentConfig,
     opt_state = tx.init(variables["params"])
     n_epochs = epochs if epochs is not None else cfg.train.epochs
     for epoch in range(n_epochs):
-        tl, tn = 0.0, 0
+        losses = []  # device scalars; fetched once per epoch (no per-step sync)
         for si, b in enumerate(_batches(dtr, cfg, True, epoch)):
             variables, opt_state, m = step(
                 variables, opt_state, _to_device(b),
                 jax.random.fold_in(jax.random.key(epoch), si))
-            tl += float(m["loss"]); tn += 1
-        logger.log(epoch, train_loss=tl / max(tn, 1))
+            losses.append(m["loss"])
+        logger.log(epoch, train_loss=(
+            sum(float(x) for x in losses) / max(len(losses), 1)))
 
     # test (sample-weighted like evaluate())
     ade_sum = fde_sum = n_sum = 0.0
@@ -488,13 +511,15 @@ def _run_gail(cfg, dtr, dte, logger, epochs, eval_candidates: int = 0):
     go, do = g_tx.init(gp), d_tx.init(dp)
     n_epochs = epochs if epochs is not None else cfg.train.epochs
     for epoch in range(n_epochs):
-        gl = dl = n = 0.0
+        gls, dls = [], []  # device scalars; fetched once per epoch
         for si, b in enumerate(_batches(dtr, cfg, True, epoch)):
             gp, dp, go, do, m = step(
                 gp, dp, go, do, _to_device(b),
                 jax.random.fold_in(jax.random.key(epoch), si))
-            gl += float(m["g_loss"]); dl += float(m["d_loss"]); n += 1
-        logger.log(epoch, g_loss=gl / max(n, 1), d_loss=dl / max(n, 1))
+            gls.append(m["g_loss"]); dls.append(m["d_loss"])
+        n = max(len(gls), 1)
+        logger.log(epoch, g_loss=sum(float(x) for x in gls) / n,
+                   d_loss=sum(float(x) for x in dls) / n)
     ade_sum = fde_sum = n_sum = 0.0
     min_sums = np.zeros(3)
     det = jax.jit(lambda p, b: gen.apply({"params": p}, b, True))
@@ -573,15 +598,18 @@ def run_diffusion(cfg: ExperimentConfig, data_path: Optional[str] = None,
         return x * 2.0 - 1.0
 
     n_epochs = epochs if epochs is not None else 20  # ref diffusion_epochs=20
+    tl, tn = 0.0, 0
     for epoch in range(n_epochs):
-        tl, tn = 0.0, 0
-        for b in _batches(dtr, cfg, True, epoch):
+        losses = []  # device scalars; fetched once per epoch
+        for tn_i, b in enumerate(_batches(dtr, cfg, True, epoch)):
             x0 = to_pm1(jnp.asarray(b["traj_out"]))
             cond = jnp.zeros((x0.shape[0], 128))  # placeholder cond (ref :1218-1221)
             params, opt_state, ema_params, m = step(
                 params, opt_state, ema_params, x0, cond,
-                jax.random.key(epoch * 1000 + tn))
-            tl += float(m["loss"]); tn += 1
+                jax.random.key(epoch * 1000 + tn_i))
+            losses.append(m["loss"])
+        tl = sum(float(x) for x in losses)
+        tn = len(losses)
         logger.log(epoch, diff_loss=tl / max(tn, 1))
 
     # sampling with EMA params (ref ema.apply_shadow, :1282)
@@ -636,13 +664,16 @@ def run_stage1(cfg: ExperimentConfig, data_path: Optional[str] = None,
     step = jax.jit(make_stage1_train_step(mllm, tx))
     ev = jax.jit(make_stage1_eval_step(mllm))
     n_epochs = epochs if epochs is not None else cfg.train.epochs
+    tl, tn = 0.0, 0
     for epoch in range(n_epochs):
-        tl, tn = 0.0, 0
+        losses = []  # device scalars; fetched once per epoch
         for si, b in enumerate(_batches(dtr, cfg, True, epoch)):
             params, opt_state, m = step(
                 params, opt_state, _to_device(b),
                 jax.random.fold_in(jax.random.key(epoch), si))
-            tl += float(m["lm_loss"]); tn += 1
+            losses.append(m["lm_loss"])
+        tl = sum(float(x) for x in losses)
+        tn = len(losses)
         vl = [float(ev(params, _to_device(b))["lm_loss"])
               for b in _batches(dva, cfg, False)]
         logger.log(epoch, lm_loss=tl / max(tn, 1),

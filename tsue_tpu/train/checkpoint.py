@@ -37,11 +37,23 @@ def _checkpointer():
 
 
 def save_pytree(path: str, tree: Any):
-    """Save a pytree (params or full state) to ``path`` (absolute dir)."""
+    """Save a pytree (params or full state) to ``path`` (absolute dir).
+
+    COLLECTIVE in multi-process runs: every process must call it with the
+    same path/decision.  Orbax's save performs internal cross-process
+    syncs (single-writer coordination), so a process-0-only call leaves
+    the other processes' collective streams misaligned — the next barrier
+    pairs with orbax's internal sync and fails with a name mismatch
+    (reproduced in tests/test_two_process.py's probe scenario)."""
     path = os.path.abspath(path)
     if os.path.exists(path):
         import shutil
-        shutil.rmtree(path)
+        # racing removals across same-host processes are fine: orbax's
+        # pre-save barrier below keeps anyone from writing early
+        shutil.rmtree(path, ignore_errors=True)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(f"save_pytree:{path}")
     ckptr = _checkpointer()
     ckptr.save(path, jax.tree.map(np.asarray, tree))
     ckptr.wait_until_finished()
@@ -108,8 +120,9 @@ def restore_merge(path: str, target: Any) -> Any:
 class BestCheckpointer:
     """Best-val checkpoint protocol (ref scripts/train.py:1219-1224).
 
-    Process 0 writes to disk; on multi-host runs without a shared
-    filesystem, callers must restore from an in-memory copy instead of
+    ``maybe_save`` is collective (all processes call; orbax writes from
+    the primary host).  On multi-host runs without a shared filesystem,
+    callers must restore from an in-memory copy instead of
     ``restore_best`` (tsue_tpu.runner does this automatically).
 
     ``trainable_filter(path_strs) -> bool`` restricts the artifact to the
@@ -143,8 +156,11 @@ class BestCheckpointer:
         if not math.isfinite(val_loss) or val_loss >= self.best_val:
             return False
         self.best_val = val_loss
-        if jax.process_index() == 0:
-            save_pytree(self.best_path, self._subset(params))
+        # collective: every process calls (the val metric is a replicated
+        # SPMD scalar so the decision agrees); orbax writes from the
+        # primary host only, and its internal syncs need all processes
+        # participating — see save_pytree
+        save_pytree(self.best_path, self._subset(params))
         return True
 
     def restore_best(self, target=None):
