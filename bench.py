@@ -103,7 +103,8 @@ def _timed(fn, iters: int, windows: int = 3) -> float:
     return best
 
 
-def bench_mode(model, params, batch, K: int, mode: str, iters: int = 5):
+def bench_mode(model, params, batch, K: int, mode: str, iters: int = 5,
+               rng_impl: str | None = None):
     import jax
     import jax.numpy as jnp
     # the measured programs ARE the production eval paths
@@ -120,7 +121,8 @@ def bench_mode(model, params, batch, K: int, mode: str, iters: int = 5):
                                           K, rng)
 
     step = jax.jit(rollout)
-    rng = jax.random.key(0)
+    rng = (jax.random.key(0, impl=rng_impl) if rng_impl
+           else jax.random.key(0))
     # NB: block_until_ready under-reports on the remote-tunnel (axon)
     # platform; a host readback of a result-dependent scalar is the only
     # honest completion barrier, so each iteration sums the output.
@@ -131,11 +133,27 @@ def bench_mode(model, params, batch, K: int, mode: str, iters: int = 5):
     return B / best, best
 
 
-def bench_decode(vocab_size: int, batch_size: int = 16, prompt_len: int = 144,
+V5E_HBM_BW = 820e9   # bytes/s, v5e peak HBM bandwidth (public spec ~819 GB/s)
+
+
+def bench_decode(vocab_size: int, batch_sizes=(16,), prompt_len: int = 144,
                  max_new: int = 64, iters: int = 3):
     """Sampled-generation throughput (new tokens/sec) with the full
     soft-prefix prefill + KV-cached scan decode (eval/generation.py) --
-    per-step LM-head matmul at the given vocab size."""
+    per-step LM-head matmul at the given vocab size.
+
+    Sweeps ``batch_sizes`` with INTERLEAVED timing windows (one model
+    init; per CLAUDE.md, cross-run comparisons on the shared tunnel are
+    noise -- only same-process interleaved numbers are comparable).
+    Returns ({bs: tok/s}, {bs: hbm_utilization}).
+
+    Roofline: decode is bandwidth-bound -- every step streams the full
+    bf16 weight set (params x 2 bytes; the LM head reads the tied
+    embedding) plus the live KV-cache slice, so
+    ``steps/s <= BW / (weight_bytes + kv_bytes)`` and tok/s scales with
+    batch until the KV term or MXU time takes over.  utilization =
+    measured bytes/s over the ~820 GB/s v5e spec.
+    """
     import jax
     import jax.numpy as jnp
     from tsue_tpu.config import LlamaConfig, QFormerConfig
@@ -146,29 +164,110 @@ def bench_decode(vocab_size: int, batch_size: int = 16, prompt_len: int = 144,
     llama = LlamaConfig(vocab_size=vocab_size)
     mllm = MultiModalLLM(llama, QFormerConfig(), dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
-    vision = jnp.asarray(rng.standard_normal((batch_size, 18, 512)),
+    max_bs = max(batch_sizes)
+    vision = jnp.asarray(rng.standard_normal((max_bs, 18, 512)),
                          jnp.float32)
     prompt_ids = jnp.asarray(
-        rng.integers(3, min(vocab_size, 50000), (batch_size, prompt_len)),
+        rng.integers(3, min(vocab_size, 50000), (max_bs, prompt_len)),
         jnp.int32)
-    prompt_mask = jnp.ones((batch_size, prompt_len), jnp.int32)
+    prompt_mask = jnp.ones((max_bs, prompt_len), jnp.int32)
 
     log(f"init mllm (vocab {vocab_size})...")
     variables = jax.jit(lambda v, i, m: mllm.init(
         {"params": jax.random.key(0)}, v, i, m, True))(
-            vision, prompt_ids, prompt_mask)
+            vision[:1], prompt_ids[:1], prompt_mask[:1])
     variables = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
         variables)
+    n_params = sum(np.prod(x.shape)
+                   for x in jax.tree.leaves(variables["params"]))
     gen = make_generate_fn(mllm, SamplingConfig(), max_new, prompt_len,
                            eos_id=vocab_size - 1, pad_id=0)
     key = jax.random.key(0)
-    int(np.asarray(gen(variables, vision, prompt_ids, prompt_mask,
-                       key)).sum())  # warmup + compile
-    best = _timed(lambda i: int(np.asarray(gen(
-        variables, vision, prompt_ids, prompt_mask,
-        jax.random.fold_in(key, i))).sum()), iters)
-    return batch_size * max_new / best
+
+    def run(bs, k):
+        return int(np.asarray(gen(
+            variables, vision[:bs], prompt_ids[:bs], prompt_mask[:bs],
+            k)).sum())
+
+    for bs in batch_sizes:                       # warmup + compile each
+        run(bs, key)
+    best = {bs: float("inf") for bs in batch_sizes}
+    for w in range(3):                           # interleaved windows
+        for bs in batch_sizes:
+            t0 = time.time()
+            for i in range(iters):
+                run(bs, jax.random.fold_in(key, w * iters + i))
+            best[bs] = min(best[bs], (time.time() - t0) / iters)
+
+    # bytes per decode step: full weight stream + average live KV slice
+    c = llama
+    n_img = mllm.qformer.num_query_tokens
+    weight_bytes = float(n_params) * 2.0
+    avg_len = prompt_len + n_img + max_new / 2.0
+    tok_per_sec, hbm_util = {}, {}
+    for bs in batch_sizes:
+        kv_bytes = (bs * avg_len * c.num_layers * 2 * c.num_kv_heads
+                    * c.head_dim * 2.0)
+        steps_per_sec = max_new / best[bs]
+        tok_per_sec[bs] = bs * steps_per_sec
+        hbm_util[bs] = steps_per_sec * (weight_bytes + kv_bytes) / V5E_HBM_BW
+    return tok_per_sec, hbm_util
+
+
+def bench_stage1_step(vocab_size: int, batch_size: int = 8,
+                      text_len: int = 512, iters: int = 3):
+    """Stage-1 MLLM LM fine-tune step latency, ms (fwd+bwd+update of the
+    causal-LM loss over the fused [img || text] sequence at the full
+    vocab).  The production path: train/stage1.py make_stage1_train_step
+    (LoRA + Q-Former + modality embeddings trainable, base Llama frozen).
+    Ref flow: the training side of scripts/check_generation.py."""
+    import jax
+    import jax.numpy as jnp
+    from tsue_tpu.models.fusion import MultiModalLLM
+    from tsue_tpu.train.stage1 import (make_stage1_optimizer,
+                                       make_stage1_train_step)
+
+    import dataclasses
+    cfg = _cfg(vocab_size, batch_size, 18, 18, text_len, "bfloat16")
+    # per-layer remat: like the joint stage-2 bench, the full-vocab CE
+    # backward (f32 logits (B, 528, 128256) ~2.2 GB + d_logits) plus
+    # 16 layers of saved activations exceeds one chip without it
+    llama = dataclasses.replace(cfg.model.llama, remat=True)
+    mllm = MultiModalLLM(llama, cfg.model.qformer, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    batch = {
+        "vision": jnp.asarray(
+            rng.standard_normal((batch_size, 18, 512)), jnp.float32),
+        "input_ids": jnp.asarray(
+            rng.integers(3, min(vocab_size, 50000),
+                         (batch_size, text_len)), jnp.int32),
+        "attention_mask": jnp.ones((batch_size, text_len), jnp.int32),
+        "labels": jnp.asarray(
+            rng.integers(3, min(vocab_size, 50000),
+                         (batch_size, text_len)), jnp.int32),
+    }
+    log(f"init stage-1 mllm (vocab {vocab_size})...")
+    variables = jax.jit(lambda b: mllm.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        b["vision"], b["input_ids"], b["attention_mask"]))(batch)
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        variables["params"])
+    tx = make_stage1_optimizer(cfg, params)
+    opt_state = tx.init(params)
+    step = jax.jit(make_stage1_train_step(mllm, tx), donate_argnums=(0, 1))
+    k = jax.random.key(0)
+    params, opt_state, m = step(params, opt_state, batch, k)
+    float(m["lm_loss"])  # warmup + compile
+
+    def one(i):
+        nonlocal params, opt_state
+        params, opt_state, m = step(params, opt_state, batch, k)
+        float(m["lm_loss"])
+    best = _timed(one, iters, windows=2)
+    del params, opt_state
+    return best * 1000.0
 
 
 def bench_train_step(cfg, model, params, batch, iters: int = 5):
@@ -235,8 +334,19 @@ def main():
     parity_tps, parity_dt = bench_mode(model, params, batch16, K, "parity",
                                        iters=2)
     log(f"real-vocab parity: {parity_tps:.1f} traj/s ({parity_dt*1000:.0f} ms/b)")
+    # optimized parity: Pallas flash attention (no fp32 logit
+    # materialization) + hardware-RNG dropout keys — measured +6% in the
+    # interleaved study (PARITY.md "Parity-mode eval profile"); identical
+    # sampling distribution, different (equally random) draws
+    from tsue_tpu.ops.attention import attention_impl
+    with attention_impl("pallas"):
+        popt_tps, popt_dt = bench_mode(model, params, batch16, K, "parity",
+                                       iters=2, rng_impl="rbg")
+    log(f"real-vocab parity optimized: {popt_tps:.1f} traj/s "
+        f"({popt_dt*1000:.0f} ms/b)")
     detail["fast_mode_traj_per_sec"] = round(fast_tps, 2)
     detail["parity_mode_traj_per_sec"] = round(parity_tps, 2)
+    detail["parity_mode_traj_per_sec_optimized"] = round(popt_tps, 2)
 
     # --- training-step latency (real vocab, reference batch 16, 18->30) --
     del params, batch, batch16  # free the eval buffers first (1.31B bf16)
@@ -263,13 +373,28 @@ def main():
     detail["train_step_joint_remat_ms_bs16"] = round(joint_ms, 1)
     del tparams, tbatch
 
-    # --- sampled-decode throughput ---------------------------------------
-    real_tok = bench_decode(REAL_VOCAB)
-    log(f"decode real-vocab: {real_tok:.0f} tok/s (bs16, prompt 144, 64 new)")
-    byte_tok = bench_decode(BYTE_VOCAB)
-    log(f"decode byte-vocab: {byte_tok:.0f} tok/s")
-    detail["decode_tok_per_sec_vocab128256"] = round(real_tok, 1)
-    detail["decode_tok_per_sec_vocab384"] = round(byte_tok, 1)
+    # --- stage-1 LM fine-tune step (ref check_generation.py train side) --
+    s1_ms = bench_stage1_step(REAL_VOCAB)
+    log(f"stage-1 LM step: {s1_ms:.0f} ms (bs8, text 512, full vocab)")
+    detail["stage1_lm_step_ms_bs8"] = round(s1_ms, 1)
+
+    # --- sampled-decode throughput: batch sweep + HBM roofline -----------
+    # decode streams the full bf16 weight set every step, so larger
+    # batches amortize the weight reads; utilization = measured
+    # bytes/s / 820 GB/s v5e HBM spec (see bench_decode docstring)
+    sweep = (16, 32, 64)
+    real_tok, real_util = bench_decode(REAL_VOCAB, batch_sizes=sweep)
+    for bs in sweep:
+        log(f"decode real-vocab bs{bs}: {real_tok[bs]:.0f} tok/s "
+            f"(HBM util {real_util[bs]*100:.0f}%)")
+    byte_tok, _ = bench_decode(BYTE_VOCAB)
+    log(f"decode byte-vocab: {byte_tok[16]:.0f} tok/s")
+    detail["decode_tok_per_sec_vocab128256"] = round(real_tok[16], 1)
+    detail["decode_tok_per_sec_vocab128256_by_bs"] = {
+        str(bs): round(real_tok[bs], 1) for bs in sweep}
+    detail["decode_hbm_utilization_by_bs"] = {
+        str(bs): round(real_util[bs], 3) for bs in sweep}
+    detail["decode_tok_per_sec_vocab384"] = round(byte_tok[16], 1)
 
     # --- round-1 continuity: byte-tokenizer vocab (384) ------------------
     _, bmodel, bparams, bbatch = build(BYTE_VOCAB, batch_size=64, seq_len=18,
