@@ -10,6 +10,10 @@ def main():
     p.add_argument("--mode", default="generate",
                    choices=("generate", "predict"))
     p.add_argument("--ckpt", default=None)
+    p.add_argument("--mllm-ckpt", default=None,
+                   help="stage-1 MLLM artifact the checkpoint was trained "
+                        "with (predict mode; required when training used "
+                        "--mllm-ckpt)")
     p.add_argument("--cfg-scale", type=float, default=3.0)
     p.add_argument("--timesteps", type=int, default=1000)
     p.add_argument("--samples", type=int, default=5)
@@ -25,7 +29,8 @@ def main():
                              synthetic_tracks=args.synthetic_tracks))
     else:
         from tsue_tpu.runner import run_stage2
-        finish(run_stage2(cfg, args.data, args.out_dir, epochs=0,
+        finish(run_stage2(cfg, args.data, args.out_dir,
+                          mllm_ckpt=args.mllm_ckpt, epochs=0,
                           restore_ckpt=args.ckpt,
                           synthetic_tracks=args.synthetic_tracks,
                           tokenizer_path=args.tokenizer))

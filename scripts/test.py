@@ -9,6 +9,10 @@ def main():
     p = base_parser(__doc__)
     p.add_argument("--preset", default="test_18_18")
     p.add_argument("--ckpt", default=None, help="trained checkpoint dir")
+    p.add_argument("--mllm-ckpt", default=None,
+                   help="stage-1 MLLM artifact the checkpoint was trained "
+                        "with (required when training used --mllm-ckpt: "
+                        "frozen-regime checkpoints omit the frozen subtree)")
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--candidate-mode", default="fast",
                    choices=("fast", "parity"))
@@ -16,7 +20,8 @@ def main():
     from tsue_tpu.config import get_preset
     from tsue_tpu.runner import run_stage2
     cfg = apply_overrides(get_preset(args.preset), args)
-    finish(run_stage2(cfg, args.data, args.out_dir, epochs=args.epochs or 0,
+    finish(run_stage2(cfg, args.data, args.out_dir,
+                      mllm_ckpt=args.mllm_ckpt, epochs=args.epochs or 0,
                       eval_candidates=args.k, restore_ckpt=args.ckpt,
                       synthetic_tracks=args.synthetic_tracks,
                       candidate_mode=args.candidate_mode,

@@ -76,8 +76,10 @@ def main():
                                                  num_layers=1),
                           ltsf=LTSFConfig(d_model=16, polygon_embed_dim=16)),
         train=TrainConfig(batch_size=8, lr=1e-3, freeze_regime="joint"))
+    # viz_every=1 exercises the multi-process gate (the qualitative
+    # sample is a single-process feature and must be a clean no-op here)
     metrics = run_stage2(cfg, None, out_dir, epochs=2, eval_candidates=2,
-                         save_viz=False, synthetic_tracks=8)
+                         save_viz=False, synthetic_tracks=8, viz_every=1)
 
     # --- 3. distributed generation gather ---------------------------------
     from tsue_tpu.config import LlamaConfig, QFormerConfig

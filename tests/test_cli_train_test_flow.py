@@ -61,6 +61,27 @@ def test_readme_train_then_test_frozen_regime(tmp_path):
     assert math.isfinite(m_test["min_ade"]) and m_test["min_ade"] > 0
 
 
+def test_eval_requires_train_time_mllm_ckpt(tmp_path):
+    """Review finding: a frozen-regime checkpoint trained with
+    --mllm-ckpt omits the frozen subtree; evaluating it without the same
+    stage-1 artifact would silently score a random-init LLM.  The
+    meta.json provenance guard must fail FAST (before any data/model
+    build) with an actionable message."""
+    import json
+    import pytest
+    from tsue_tpu.config import get_preset
+    from tsue_tpu.runner import run_stage2
+
+    ck = tmp_path / "ckpt"
+    ck.mkdir()
+    (ck / "meta.json").write_text(json.dumps(
+        {"name": "train_18_30", "freeze_regime": "frozen_mllm",
+         "mllm_ckpt": "/runs/mllm"}))
+    with pytest.raises(RuntimeError, match="mllm-ckpt"):
+        run_stage2(get_preset("test_18_18"), None, str(tmp_path),
+                   epochs=0, restore_ckpt=str(ck / "best"))
+
+
 def test_restore_merge_shape_mismatch_is_loud(tmp_path):
     """A checkpoint trained at one horizon evaluated under another must
     raise a shape-mismatch error naming the preset fix, not an opaque

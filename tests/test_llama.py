@@ -91,6 +91,62 @@ class TestLlamaCore:
         out = model.apply(vs, e, jnp.ones((B, T), jnp.int32), labels=labels)
         assert float(out["loss"]) == 0.0
 
+    def test_chunked_loss_untied_head(self):
+        """Regression (review finding): the chunked path must not call the
+        lm_head flax submodule inside the checkpointed scan body — with
+        tie_word_embeddings=False that raised UnexpectedTracerError."""
+        import dataclasses
+        cfg_d = dataclasses.replace(CFG, tie_word_embeddings=False)
+        cfg_c = dataclasses.replace(cfg_d, loss_chunk=3)
+        dense = LlamaForCausalLM(cfg_d)
+        chunked = LlamaForCausalLM(cfg_c)
+        ids = jax.random.randint(jax.random.key(9), (B, T), 3, 200)
+        labels = ids.at[:, :2].set(-100)
+        mask = jnp.ones((B, T), jnp.int32)
+        vs = chunked.init({"params": jax.random.key(0),
+                           "dropout": jax.random.key(1)},
+                          input_ids=ids, attention_mask=mask, labels=labels)
+        assert "lm_head" in vs["params"]  # init created the untied head
+        e = dense.apply(vs, ids, method=dense.embed)
+        ld = dense.apply(vs, e, mask, labels=labels)["loss"]
+        lc = chunked.apply(vs, e, mask, labels=labels)["loss"]
+        np.testing.assert_allclose(float(lc), float(ld), rtol=1e-6)
+
+    @pytest.mark.parametrize("chunk", [4, 5])  # 5 does not divide T-1
+    def test_chunked_loss_matches_dense_value_and_grads(self, lm, chunk):
+        """causal_lm_loss_chunked == the dense loss, value AND gradients
+        (the chunked path never materializes (B, T, V) logits — it must
+        not change training numerics)."""
+        import dataclasses
+        model, vs = lm
+        cfg_c = dataclasses.replace(CFG, loss_chunk=chunk)
+        model_c = LlamaForCausalLM(cfg_c)
+        ids = jax.random.randint(jax.random.key(6), (B, T), 3, 200)
+        labels = ids.at[:, :3].set(-100)
+        mask = jnp.ones((B, T), jnp.int32)
+        e = _embed(model, vs, ids)
+
+        def dense_loss(params):
+            return model.apply({"params": params}, e, mask,
+                               labels=labels)["loss"]
+
+        def chunked_loss(params):
+            return model_c.apply({"params": params}, e, mask,
+                                 labels=labels)["loss"]
+
+        params = vs["params"]
+        ld, gd = jax.value_and_grad(dense_loss)(params)
+        lc, gc = jax.value_and_grad(chunked_loss)(params)
+        np.testing.assert_allclose(float(lc), float(ld), rtol=1e-6)
+        for (kd, vd), (kc, vc) in zip(
+                sorted(jax.tree_util.tree_leaves_with_path(gd),
+                       key=lambda kv: str(kv[0])),
+                sorted(jax.tree_util.tree_leaves_with_path(gc),
+                       key=lambda kv: str(kv[0]))):
+            assert str(kd) == str(kc)
+            np.testing.assert_allclose(np.asarray(vc), np.asarray(vd),
+                                       atol=1e-5, err_msg=str(kd))
+
 
 class TestLoRA:
     def test_lora_params_exist_and_noop_at_init(self):

@@ -93,7 +93,7 @@ def test_artifacts_written_once(worker_results):
         assert "GENERATED:" in f.read()
 
 
-def test_two_process_matches_single_process(worker_results):
+def test_two_process_matches_single_process(worker_results, tmp_path):
     """2 procs x 4 devices == 1 proc x 8 devices: same seeded data, same
     global SPMD program, so the metrics must match."""
     from tsue_tpu.config import (DataConfig, LaneEncoderConfig, LTSFConfig,
@@ -111,7 +111,7 @@ def test_two_process_matches_single_process(worker_results):
                                                  num_layers=1),
                           ltsf=LTSFConfig(d_model=16, polygon_embed_dim=16)),
         train=TrainConfig(batch_size=8, lr=1e-3, freeze_regime="joint"))
-    m = run_stage2(cfg, None, "/tmp/tsue_single_vs_two", epochs=2,
+    m = run_stage2(cfg, None, str(tmp_path), epochs=2,
                    eval_candidates=2, save_viz=False, synthetic_tracks=8)
     for k in ("test_ade", "test_fde", "min_ade", "min_fde", "min_rmse"):
         np.testing.assert_allclose(m[k], r0[k], rtol=1e-4, err_msg=k)

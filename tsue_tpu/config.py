@@ -60,6 +60,11 @@ class LlamaConfig:
     rms_norm_eps: float = 1e-5
     tie_word_embeddings: bool = True
     remat: bool = False   # rematerialize each layer (memory <-> FLOPs)
+    # chunked LM-loss: >0 computes the causal-LM CE in sequence chunks of
+    # this size without materializing the (B, T, 128256) logits (identical
+    # value/grads to the dense loss; see models/llama.py
+    # causal_lm_loss_chunked).  0 = dense.
+    loss_chunk: int = 0
     use_lora: bool = True
     lora_r: int = 8
     lora_alpha: float = 32.0

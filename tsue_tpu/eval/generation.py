@@ -123,6 +123,28 @@ def postprocess_text(text: str, extract_answer: bool = False) -> str:
     return text
 
 
+def prompt_only(batch) -> tuple:
+    """(ids, mask) int32: the PROMPT span of dataset rows — dataset rows
+    hold prompt+answer, and the answer span is exactly where labels !=
+    -100 (ref check_generation.py generates from the prompt alone).
+    Shared by the generation harness and the per-epoch training sample."""
+    from tsue_tpu.models.fusion import IGNORE_LABEL
+    prompt_mask = np.asarray(batch["attention_mask"])
+    if "labels" in batch:
+        prompt_mask = prompt_mask * (
+            np.asarray(batch["labels"]) == IGNORE_LABEL)
+    ids = (np.asarray(batch["input_ids"]) * prompt_mask).astype(np.int32)
+    return ids, prompt_mask.astype(np.int32)
+
+
+def trim_and_decode(row, tokenizer, extract_answer: bool = False) -> str:
+    """Generated id row -> postprocessed text (strip pad, cut at EOS)."""
+    ids = [int(t) for t in row if t != tokenizer.pad_id]
+    if tokenizer.eos_id in ids:
+        ids = ids[:ids.index(tokenizer.eos_id)]
+    return postprocess_text(tokenizer.decode(ids), extract_answer)
+
+
 def generate_texts(mllm, variables, tokenizer, vision, prompt_ids,
                    prompt_mask, rng, max_new_tokens: int = 128,
                    cfg: Optional[SamplingConfig] = None,
@@ -134,13 +156,7 @@ def generate_texts(mllm, variables, tokenizer, vision, prompt_ids,
                            tokenizer.pad_id)
     out = np.asarray(gen(variables, vision, jnp.asarray(prompt_ids),
                          jnp.asarray(prompt_mask), rng))
-    texts = []
-    for row in out:
-        ids = [int(t) for t in row if t != tokenizer.pad_id]
-        if tokenizer.eos_id in ids:
-            ids = ids[:ids.index(tokenizer.eos_id)]
-        texts.append(postprocess_text(tokenizer.decode(ids), extract_answer))
-    return texts
+    return [trim_and_decode(row, tokenizer, extract_answer) for row in out]
 
 
 def distributed_generate_and_save(mllm, variables, tokenizer, dataset,
@@ -171,16 +187,9 @@ def distributed_generate_and_save(mllm, variables, tokenizer, dataset,
             gen = make_generate_fn(mllm, cfg, max_new_tokens,
                                    batch["input_ids"].shape[1],
                                    tokenizer.eos_id, tokenizer.pad_id)
-        # condition on the PROMPT only: dataset rows hold prompt+answer;
-        # the answer span is exactly where labels != -100
-        # (ref check_generation.py generates from the prompt alone)
-        prompt_mask = np.asarray(batch["attention_mask"])
-        if "labels" in batch:
-            prompt_mask = prompt_mask * (np.asarray(batch["labels"]) == -100)
-        ids = np.asarray(batch["input_ids"]) * prompt_mask
+        ids, prompt_mask = prompt_only(batch)
         out = gen(variables, jnp.asarray(batch["vision"]),
-                  jnp.asarray(ids, np.int32),
-                  jnp.asarray(prompt_mask, np.int32),
+                  jnp.asarray(ids), jnp.asarray(prompt_mask),
                   jax.random.fold_in(rng, i))
         tids.append(np.asarray(batch["track_id"]))
         rows.append(np.asarray(out))
@@ -201,11 +210,8 @@ def distributed_generate_and_save(mllm, variables, tokenizer, dataset,
         for tid, row, v in zip(tids, rows, valids):
             if not v:
                 continue
-            ids = [int(t) for t in row if t != tokenizer.pad_id]
-            if tokenizer.eos_id in ids:
-                ids = ids[:ids.index(tokenizer.eos_id)]
             rec = {"track_id": int(tid),
-                   "generated": postprocess_text(tokenizer.decode(ids))}
+                   "generated": trim_and_decode(row, tokenizer)}
             if reference_texts is not None:
                 rec["reference"] = reference_texts.get(int(tid), "")
             records.append(rec)

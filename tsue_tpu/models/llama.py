@@ -278,6 +278,17 @@ class LlamaForCausalLM(nn.Module):
                            preferred_element_type=jnp.float32)
         return self.lm_head(hidden).astype(jnp.float32)
 
+    def _head_weight(self, hidden):
+        """(D, V) LM-head weight as a plain array — safe to close over in
+        checkpointed/scanned loss bodies, where calling a flax submodule
+        would leak tracers (UnexpectedTracerError).  ``hidden`` is only
+        used to create the lm_head params during init."""
+        if self.cfg.tie_word_embeddings:
+            return self.model.embed_tokens.embedding.T
+        if self.is_initializing():
+            self.lm_head(hidden[:, :1])
+        return self.lm_head.variables["params"]["kernel"]
+
     def __call__(self, inputs_embeds=None, attention_mask=None, labels=None,
                  positions=None, deterministic=True, compute_logits=False,
                  input_ids=None):
@@ -290,7 +301,13 @@ class LlamaForCausalLM(nn.Module):
         hidden, _ = self.model(inputs_embeds, attention_mask, positions,
                                deterministic, input_ids=input_ids)
         out = {"hidden": hidden}
-        if compute_logits or labels is not None:
+        if labels is not None and self.cfg.loss_chunk and not compute_logits:
+            w = self._head_weight(hidden).astype(self.dtype)
+            out["loss"] = causal_lm_loss_chunked(
+                hidden, labels,
+                lambda h: jnp.dot(h, w, preferred_element_type=jnp.float32),
+                self.cfg.loss_chunk)
+        elif compute_logits or labels is not None:
             logits = self.logits_from_hidden(hidden)
             out["logits"] = logits
             if labels is not None:
@@ -309,6 +326,50 @@ def causal_lm_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
                                    axis=-1)[..., 0]
     nll = (logz - tok_logp) * valid
     return nll.sum() / jnp.maximum(valid.sum(), 1)
+
+
+def causal_lm_loss_chunked(hidden: jnp.ndarray, labels: jnp.ndarray,
+                           logits_fn, chunk: int) -> jnp.ndarray:
+    """``causal_lm_loss`` without ever materializing the (B, T, V) logits.
+
+    The dense path at real Llama scale holds ~2.2 GB of f32 logits plus an
+    equal d_logits cotangent (bs8, T=528, V=128256); here the LM-head
+    matmul + logsumexp run per sequence chunk inside a ``lax.scan``, with
+    ``jax.checkpoint`` so the backward recomputes each chunk's logits
+    transiently instead of saving them.  Identical value and gradients to
+    the dense loss (pinned in tests/test_llama.py), peak memory
+    O(B * chunk * V) instead of O(B * T * V).
+    """
+    B, T, D = hidden.shape
+    h = hidden[:, :-1]          # keep model dtype: the LM-head matmul
+    y = labels[:, 1:]           # must see the same inputs as the dense path
+    tm = T - 1
+    pad = (-tm) % chunk
+    if pad:
+        h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+        y = jnp.pad(y, ((0, 0), (0, pad)), constant_values=-100)
+    n_chunks = (tm + pad) // chunk
+    hc = jnp.moveaxis(h.reshape(B, n_chunks, chunk, D), 1, 0)
+    yc = jnp.moveaxis(y.reshape(B, n_chunks, chunk), 1, 0)
+
+    @jax.checkpoint
+    def chunk_stats(hk, yk):
+        logits = logits_fn(hk).astype(jnp.float32)      # (B, chunk, V)
+        valid = yk != -100
+        safe = jnp.where(valid, yk, 0)
+        logz = jax.nn.logsumexp(logits, axis=-1)
+        tok = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+        return ((logz - tok) * valid).sum(), valid.sum()
+
+    def body(carry, xs):
+        s, n = carry
+        ds, dn = chunk_stats(*xs)
+        return (s + ds, n + dn), None
+
+    (s, n), _ = jax.lax.scan(
+        body, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
+        (hc, yc))
+    return s / jnp.maximum(n, 1)
 
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,

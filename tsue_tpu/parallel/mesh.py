@@ -83,20 +83,29 @@ def _on_tpu_vm() -> bool:
     """TPU chips driven by this host?  Device files alone are ambiguous:
     /dev/accel* is also created by the Linux DRM compute-accelerator
     subsystem (Intel NPU, Habana), and /dev/vfio/* exists on any host with
-    the vfio module loaded (GPU passthrough).  Either file only counts
-    together with a Google PCI device (vendor 0x1ae0 — TPU chips): a
-    non-TPU accelerator host must NOT make every CLI startup probe the
-    TPU metadata server and warn."""
+    the vfio module loaded (GPU passthrough).  Policy: a Google PCI device
+    (vendor 0x1ae0 — TPU chips) confirms either file; when the PCI vendor
+    listing is readable and shows NO Google device, both are rejected (a
+    non-TPU accelerator host must not probe the TPU metadata server on
+    every CLI start); when the listing is unavailable (containerized TPU
+    runtimes often hide /sys/bus/pci), /dev/accel* alone still counts —
+    failing to detect a real pod would silently degrade it to independent
+    single-host jobs, the worse error."""
     import glob
-    if not (glob.glob("/dev/accel*") or glob.glob("/dev/vfio/*")):
+    has_accel = bool(glob.glob("/dev/accel*"))
+    if not (has_accel or glob.glob("/dev/vfio/*")):
         return False
+    vendors = []
     for p in glob.glob("/sys/bus/pci/devices/*/vendor"):
         try:
             with open(p) as f:
-                if f.read().strip().lower() == "0x1ae0":
-                    return True
+                vendors.append(f.read().strip().lower())
         except OSError:
             pass
+    if "0x1ae0" in vendors:
+        return True
+    if not vendors:          # PCI listing hidden: can't disprove
+        return has_accel     # (vfio alone stays insufficient)
     return False
 
 

@@ -76,6 +76,38 @@ def _batches(ds, cfg, shuffle, epoch=0, batch_size=None):
     return it
 
 
+def _check_restore_meta(restore_ckpt: str, mllm_ckpt: Optional[str]):
+    """Fail fast when evaluating a checkpoint whose training imported a
+    stage-1 MLLM but the eval invocation did not pass --mllm-ckpt.
+
+    Frozen-regime best checkpoints store only the trainable subtree; the
+    frozen MLLM is reconstructed by the deterministic init + optional
+    ``import_mllm``.  Without the same import, the restore would succeed
+    shape-wise and silently evaluate a RANDOM-init LLM.  ``run_stage2``
+    records a meta.json next to the artifact at train time so this
+    mismatch is loud instead."""
+    import json
+    meta_path = os.path.join(os.path.dirname(os.path.abspath(restore_ckpt)),
+                             "meta.json")
+    if not os.path.exists(meta_path):
+        return
+    with open(meta_path) as f:
+        meta = json.load(f)
+    trained_with = meta.get("mllm_ckpt")
+    if trained_with and not mllm_ckpt:
+        raise RuntimeError(
+            f"checkpoint {restore_ckpt} was trained with a stage-1 MLLM "
+            f"import ({trained_with}) but this eval run passes no "
+            "--mllm-ckpt; the frozen MLLM subtree would be re-initialized "
+            "randomly and the metrics would be silently wrong.  Pass "
+            f"--mllm-ckpt {trained_with} (or the equivalent artifact).")
+    if trained_with and mllm_ckpt and \
+            os.path.abspath(mllm_ckpt) != os.path.abspath(trained_with) \
+            and is_primary():
+        print(f"[warn] eval --mllm-ckpt {mllm_ckpt} differs from the one "
+              f"recorded at train time ({trained_with})")
+
+
 def run_stage2(cfg: ExperimentConfig, data_path: Optional[str] = None,
                out_dir: str = "runs", mllm_ckpt: Optional[str] = None,
                epochs: Optional[int] = None, eval_candidates: int = 0,
@@ -84,6 +116,8 @@ def run_stage2(cfg: ExperimentConfig, data_path: Optional[str] = None,
                viz_every: int = 0, candidate_mode: str = "fast",
                tokenizer_path: Optional[str] = None) -> Dict:
     """Full stage-2 pipeline.  Returns final metrics dict."""
+    if restore_ckpt:
+        _check_restore_meta(restore_ckpt, mllm_ckpt)
     seed_everything(cfg.train.seed)
     out_dir = os.path.join(out_dir, cfg.name)
     logger = MetricLogger(out_dir)
@@ -120,6 +154,18 @@ def run_stage2(cfg: ExperimentConfig, data_path: Optional[str] = None,
     rng = jax.random.key(cfg.train.seed)
 
     n_epochs = epochs if epochs is not None else cfg.train.epochs
+    if n_epochs > 0 and is_primary():
+        # provenance for eval-time safety (_check_restore_meta): which
+        # stage-1 artifact (if any) rebuilt the frozen subtree
+        import json
+        with open(os.path.join(out_dir, "ckpt", "meta.json"), "w") as f:
+            json.dump({"name": cfg.name,
+                       "freeze_regime": cfg.train.freeze_regime,
+                       "use_llm": cfg.model.use_llm,
+                       "seq_len": cfg.data.seq_len,
+                       "out_len": cfg.data.out_len,
+                       "mllm_ckpt": (os.path.abspath(mllm_ckpt)
+                                     if mllm_ckpt else None)}, f)
     best_params_mem = None
     gen_cache: Dict = {}
     with mesh:
@@ -149,9 +195,14 @@ def run_stage2(cfg: ExperimentConfig, data_path: Optional[str] = None,
                 # state.params get deleted on the next step.
                 best_params_mem = jax.tree.map(jnp.copy, state.params)
 
-            # per-epoch qualitative sample (ref train.py:1226-1247, T7)
+            # per-epoch qualitative sample (ref train.py:1226-1247, T7).
+            # Single-process only: params live as global-mesh arrays, and
+            # a primary-only computation cannot consume them (the
+            # reference's rank-0 sample works because DDP replicates the
+            # module per rank); multi-process runs get the post-training
+            # generation harness instead.
             if viz_every and epoch % viz_every == 0 and is_primary() \
-                    and len(dva):
+                    and jax.process_count() == 1 and len(dva):
                 from tsue_tpu.viz import plot_one_sample
                 vb = _to_device(next(iter(_batches(dva, cfg, False))))
                 pred = eval_step(state, vb)["pred"]
@@ -197,19 +248,18 @@ def _epoch_text_sample(model, params, tokenizer, batch, cache, rng,
     scripts/train.py:1231-1241).
 
     ``cache`` holds the jitted generate fn across epochs (one compile).
-    Conditions on the PROMPT only — the answer span (labels != -100) is
-    masked out exactly like the stage-1 generation harness
-    (eval/generation.py distributed_generate_and_save).
+    Prompt masking and decode trimming are the SAME helpers the stage-1
+    generation harness uses (eval/generation.py prompt_only /
+    trim_and_decode), so the per-epoch sample can't skew from it.
     """
-    from tsue_tpu.eval.generation import make_generate_fn, postprocess_text
-    from tsue_tpu.models.fusion import IGNORE_LABEL, MultiModalLLM
+    from tsue_tpu.eval.generation import (make_generate_fn, prompt_only,
+                                          trim_and_decode)
+    from tsue_tpu.models.fusion import MultiModalLLM
     from tsue_tpu.ops.sampling import SamplingConfig
 
-    prompt_mask = np.asarray(batch["attention_mask"][:1])
-    if "labels" in batch:
-        prompt_mask = prompt_mask * (
-            np.asarray(batch["labels"][:1]) == IGNORE_LABEL)
-    ids = (np.asarray(batch["input_ids"][:1]) * prompt_mask).astype(np.int32)
+    ids, prompt_mask = prompt_only(
+        {k: v[:1] for k, v in batch.items()
+         if k in ("attention_mask", "labels", "input_ids")})
     if "gen" not in cache:
         mcfg = model.cfg
         dtype = jnp.bfloat16 if mcfg.dtype == "bfloat16" else jnp.float32
@@ -221,11 +271,8 @@ def _epoch_text_sample(model, params, tokenizer, batch, cache, rng,
     vision = jnp.asarray(batch["vision"][:1]) if "vision" in batch else None
     out = np.asarray(cache["gen"]({"params": params["mllm"]}, vision,
                                   jnp.asarray(ids),
-                                  jnp.asarray(prompt_mask, jnp.int32), rng))
-    row = [int(t) for t in out[0] if t != tokenizer.pad_id]
-    if tokenizer.eos_id in row:
-        row = row[:row.index(tokenizer.eos_id)]
-    return postprocess_text(tokenizer.decode(row))
+                                  jnp.asarray(prompt_mask), rng))
+    return trim_and_decode(out[0], tokenizer)
 
 
 def build_model_and_params(cfg: ExperimentConfig, dtr, tokenizer,
