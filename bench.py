@@ -230,10 +230,12 @@ def bench_stage1_step(vocab_size: int, batch_size: int = 8,
 
     import dataclasses
     cfg = _cfg(vocab_size, batch_size, 18, 18, text_len, "bfloat16")
-    # per-layer remat: like the joint stage-2 bench, the full-vocab CE
-    # backward (f32 logits (B, 528, 128256) ~2.2 GB + d_logits) plus
-    # 16 layers of saved activations exceeds one chip without it
-    llama = dataclasses.replace(cfg.model.llama, remat=True)
+    # chunked CE (models/llama.py causal_lm_loss_chunked) instead of
+    # per-layer remat: the dense full-vocab loss (f32 logits (B, 528,
+    # 128256) ~2.2 GB + d_logits) OOMs without remat, while the chunked
+    # loss fits WITHOUT remat and skips the layer recompute — measured
+    # 359 ms vs 385 ms (remat+dense) vs OOM (no-remat dense) at bs8
+    llama = dataclasses.replace(cfg.model.llama, loss_chunk=128)
     mllm = MultiModalLLM(llama, cfg.model.qformer, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     batch = {
@@ -254,6 +256,7 @@ def bench_stage1_step(vocab_size: int, batch_size: int = 8,
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
         variables["params"])
+    del variables  # the fp32 init tree (~5.2 GB) must not stay pinned
     tx = make_stage1_optimizer(cfg, params)
     opt_state = tx.init(params)
     step = jax.jit(make_stage1_train_step(mllm, tx), donate_argnums=(0, 1))
