@@ -14,6 +14,12 @@ def main():
                    help="every N epochs: one val-sample plot + one "
                         "generated context paragraph (ref "
                         "scripts/train.py:1226-1247; 0 disables)")
+    p.add_argument("--save-every", type=int, default=0,
+                   help="checkpoint the full train state every N epochs "
+                        "(params+optimizer+step; enables --resume)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the last --save-every state; the "
+                        "continued run reproduces an uninterrupted one")
     args = p.parse_args()
     from tsue_tpu.config import get_preset
     from tsue_tpu.runner import run_stage2
@@ -21,6 +27,7 @@ def main():
     finish(run_stage2(cfg, args.data, args.out_dir, args.mllm_ckpt,
                       args.epochs, synthetic_tracks=args.synthetic_tracks,
                       viz_every=args.viz_every,
+                      save_every=args.save_every, resume=args.resume,
                       tokenizer_path=args.tokenizer))
 
 

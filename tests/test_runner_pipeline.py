@@ -7,6 +7,8 @@ model-level tests; keeping the LLM out keeps suite time bounded).
 import dataclasses
 import os
 
+import numpy as np
+
 from tsue_tpu.config import (DataConfig, LaneEncoderConfig, LTSFConfig,
                              ModelConfig, TrainConfig, get_preset)
 from tsue_tpu.runner import run_baseline, run_stage2
@@ -44,6 +46,27 @@ def test_run_stage2_pipeline(tmp_path):
     viz = sorted(os.listdir(root / "viz"))
     assert any(v.startswith("epoch") for v in viz)
     assert any(v.startswith("test_candidates") for v in viz)
+
+
+def test_run_stage2_resume_reproduces_uninterrupted(tmp_path):
+    """run_stage2(save_every=1) interrupted after 1 of 3 epochs, then
+    resume=True for the rest == one uninterrupted 3-epoch run (per-step
+    RNG folds on state.step, per-epoch shuffles on the epoch index).
+    This is the RUNNER/CLI-level integration of the save/restore_train_state
+    primitives test_resume.py pins."""
+    cfg = _tiny_cfg()
+    m_full = run_stage2(cfg, None, str(tmp_path / "full"), epochs=3,
+                        save_viz=False, synthetic_tracks=8)
+    m_part = run_stage2(cfg, None, str(tmp_path / "part"), epochs=1,
+                        save_every=1, save_viz=False, synthetic_tracks=8)
+    m_res = run_stage2(cfg, None, str(tmp_path / "part"), epochs=3,
+                       save_every=1, resume=True, save_viz=False,
+                       synthetic_tracks=8)
+    assert m_part["test_ade"] != m_res["test_ade"]  # training continued
+    np.testing.assert_allclose(m_res["test_ade"], m_full["test_ade"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(m_res["test_fde"], m_full["test_fde"],
+                               rtol=1e-5)
 
 
 def test_run_baseline_cv(tmp_path):

@@ -114,8 +114,17 @@ def run_stage2(cfg: ExperimentConfig, data_path: Optional[str] = None,
                save_viz: bool = True, synthetic_tracks: int = 40,
                restore_ckpt: Optional[str] = None,
                viz_every: int = 0, candidate_mode: str = "fast",
-               tokenizer_path: Optional[str] = None) -> Dict:
-    """Full stage-2 pipeline.  Returns final metrics dict."""
+               tokenizer_path: Optional[str] = None,
+               save_every: int = 0, resume: bool = False) -> Dict:
+    """Full stage-2 pipeline.  Returns final metrics dict.
+
+    ``save_every=N`` checkpoints the FULL train state (params + optimizer
+    + step + epoch + best-val) every N epochs; ``resume=True`` restores
+    it and continues — an interrupted run reproduces the uninterrupted
+    one exactly (per-step RNG folds on state.step, per-epoch shuffles on
+    the epoch index).  The reference saves best-val params only and
+    cannot resume (SURVEY §5 checkpoint gaps).
+    """
     if restore_ckpt:
         _check_restore_meta(restore_ckpt, mllm_ckpt)
     seed_everything(cfg.train.seed)
@@ -168,8 +177,21 @@ def run_stage2(cfg: ExperimentConfig, data_path: Optional[str] = None,
                                      if mllm_ckpt else None)}, f)
     best_params_mem = None
     gen_cache: Dict = {}
+    state_dir = os.path.join(out_dir, "ckpt", "state")
+    start_epoch = 0
+    if resume and os.path.exists(state_dir):
+        import json
+        from tsue_tpu.train.checkpoint import restore_train_state
+        state = restore_train_state(state_dir, state)
+        with open(state_dir + ".json") as f:
+            side = json.load(f)
+        start_epoch = side["epoch"]
+        ckpt.best_val = side["best_val"]
+        if is_primary():
+            print(f"[resume] epoch {start_epoch}, step {int(state.step)}, "
+                  f"best_val {ckpt.best_val:.6g}")
     with mesh:
-        for epoch in range(n_epochs):
+        for epoch in range(start_epoch, n_epochs):
             # per-step losses stay ON DEVICE during the epoch so step
             # dispatch pipelines with host-side batch prep; the host
             # fetches happen once per epoch on already-computed buffers
@@ -223,6 +245,17 @@ def run_stage2(cfg: ExperimentConfig, data_path: Optional[str] = None,
                                            "generated_samples.txt"),
                               "a") as f:
                         f.write(f"[epoch {epoch}] {text}\n")
+
+            # periodic full-state checkpoint (collective; resume=True
+            # restores it and continues exactly)
+            if save_every and (epoch + 1) % save_every == 0:
+                from tsue_tpu.train.checkpoint import save_train_state
+                save_train_state(state_dir, state)
+                if is_primary():
+                    import json
+                    with open(state_dir + ".json", "w") as f:
+                        json.dump({"epoch": epoch + 1,
+                                   "best_val": ckpt.best_val}, f)
 
         # restore best before test (ref train.py:1249-1252)
         if n_epochs > 0 and ckpt.best_val < float("inf"):
