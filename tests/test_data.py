@@ -161,6 +161,43 @@ class TestBatchIterator:
             merged = np.concatenate([b0["traj_in"], b1["traj_in"]])
             np.testing.assert_array_equal(merged, bf["traj_in"])
 
+    @pytest.fixture(scope="class")
+    def roomy_windows(self, synthetic_tracks, tokenizer):
+        # max_length well above the real row lengths so buckets can bite
+        cfg = DataConfig(seq_len=6, out_len=6, stride=6, max_length=1024)
+        return build_windows(synthetic_tracks, cfg, tokenizer)
+
+    def test_length_buckets_trim_text(self, roomy_windows):
+        """Text arrays shrink to the smallest bucket covering the batch's
+        longest row; trajectory arrays are untouched."""
+        ds = roomy_windows
+        full_w = ds.input_ids.shape[1]
+        longest = int(ds.attention_mask.sum(axis=1).max())
+        assert longest < full_w
+        bucket = ((longest + 63) // 64) * 64
+        it = BatchIterator(ds, batch_size=8, shuffle=False,
+                           length_buckets=(bucket, full_w))
+        for b in it:
+            assert b["input_ids"].shape[1] == bucket
+            assert b["attention_mask"].shape[1] == bucket
+            assert b["labels"].shape[1] == bucket
+            assert b["traj_in"].shape[2] == ds.traj_in.shape[2]
+            # nothing real was cut
+            assert int(b["attention_mask"].sum(axis=1).max()) <= bucket
+
+    def test_length_buckets_global_across_processes(self, roomy_windows):
+        """Both process shards of one global batch pick the SAME bucket
+        (jit programs must agree across processes), chosen from the
+        GLOBAL batch rows, not the local shard."""
+        full_w = roomy_windows.input_ids.shape[1]
+        buckets = tuple(range(64, full_w + 64, 64))
+        kw = dict(batch_size=8, shuffle=True, seed=0,
+                  length_buckets=buckets, process_count=2)
+        for b0, b1 in zip(
+                BatchIterator(roomy_windows, process_index=0, **kw),
+                BatchIterator(roomy_windows, process_index=1, **kw)):
+            assert b0["input_ids"].shape == b1["input_ids"].shape
+
     def test_epoch_reshuffle(self, small_windows):
         it = BatchIterator(small_windows, batch_size=8, shuffle=True, seed=0)
         b0 = next(iter(it))

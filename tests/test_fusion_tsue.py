@@ -114,6 +114,26 @@ class TestFullTSUE:
         assert pred.shape == (4, 2, 6)
         assert jnp.isfinite(pred).all()
 
+    def test_pad_tail_is_metric_neutral(self, full):
+        """Foundation of DataConfig.length_buckets: appending all-pad
+        text positions must not change the prediction (pad keys are
+        attention-masked out of the LLM and of the forecaster's
+        cross-attention), so the BatchIterator's bucket trimming is
+        exact, not approximate."""
+        import numpy as np
+        model, vs, b = full
+        wide = dict(b)
+        pad = 16
+        wide["input_ids"] = jnp.pad(b["input_ids"], ((0, 0), (0, pad)))
+        wide["attention_mask"] = jnp.pad(b["attention_mask"],
+                                         ((0, 0), (0, pad)))
+        wide["labels"] = jnp.pad(b["labels"], ((0, 0), (0, pad)),
+                                 constant_values=-100)
+        p0 = model.apply(vs, b, True)
+        p1 = model.apply(vs, wide, True)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
+                                   atol=1e-5)
+
     def test_param_tree_has_expected_groups(self, full):
         model, vs, b = full
         top = set(vs["params"].keys())

@@ -36,6 +36,13 @@ class DataConfig:
     # prompt style: "describe" (ref train.py:200-212) or "role" (ref
     # scripts/im_kim_train_GRN.py:227-234)
     prompt_style: str = "describe"
+    # static text-length buckets (ascending): each batch's text arrays are
+    # trimmed to the smallest bucket covering the batch's longest row, so
+    # the LLM forward skips all-pad tail positions.  A handful of buckets
+    # means a handful of compiled shapes (vs the reference's per-batch-max
+    # dynamic padding = a new shape every batch).  () = always max_length.
+    # Metric-neutral: pad positions are attention-masked and label-masked.
+    length_buckets: Tuple[int, ...] = ()
 
 
 @dataclass(frozen=True)

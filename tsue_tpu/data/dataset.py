@@ -36,7 +36,8 @@ class BatchIterator:
                  shuffle: bool = True, seed: int = 42,
                  process_index: int = 0, process_count: int = 1,
                  drop_remainder: bool = False,
-                 group_by_track: bool = False):
+                 group_by_track: bool = False,
+                 length_buckets=()):
         if batch_size % process_count != 0:
             raise ValueError(
                 f"process_count={process_count} must divide global "
@@ -50,6 +51,7 @@ class BatchIterator:
         self.process_count = process_count
         self.drop_remainder = drop_remainder
         self.group_by_track = group_by_track
+        self.length_buckets = tuple(sorted(length_buckets))
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -109,4 +111,27 @@ class BatchIterator:
             shard = slice(lo, lo + self.per_process)
             batch = self.ds.slice(idx[shard]).as_batch_dict()
             batch["valid"] = vmask[shard].astype(np.float32)
+            self._trim_text(batch, idx)
             yield batch
+
+    def _trim_text(self, batch: Dict[str, np.ndarray], global_idx):
+        """Trim text arrays to the smallest length bucket covering the
+        GLOBAL batch's longest row (config DataConfig.length_buckets).
+
+        The bucket is chosen from the full global index, not the local
+        shard, so every process picks the same shape (multi-process jit
+        programs must agree).  Pad positions are attention-masked and
+        label-masked, so trimming is metric-neutral."""
+        if not self.length_buckets or "attention_mask" not in batch:
+            return
+        width = batch["attention_mask"].shape[1]
+        if width <= 1:
+            return
+        longest = int(self.ds.attention_mask[global_idx].sum(axis=1).max())
+        bucket = next((b for b in self.length_buckets if b >= longest),
+                      width)
+        if bucket >= width:
+            return
+        for k in ("input_ids", "attention_mask", "labels"):
+            if k in batch:
+                batch[k] = batch[k][:, :bucket]

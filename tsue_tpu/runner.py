@@ -71,7 +71,8 @@ def _batches(ds, cfg, shuffle, epoch=0, batch_size=None):
     it = BatchIterator(ds, batch_size or cfg.train.batch_size,
                        shuffle=shuffle, seed=cfg.train.seed,
                        process_index=jax.process_index(),
-                       process_count=jax.process_count())
+                       process_count=jax.process_count(),
+                       length_buckets=cfg.data.length_buckets)
     it.set_epoch(epoch)
     return it
 
@@ -293,18 +294,19 @@ def _epoch_text_sample(model, params, tokenizer, batch, cache, rng,
     ids, prompt_mask = prompt_only(
         {k: v[:1] for k, v in batch.items()
          if k in ("attention_mask", "labels", "input_ids")})
-    if "gen" not in cache:
+    key = ("gen", ids.shape[1])  # prompt width is baked into the compiled
+    if key not in cache:         # program (length buckets can vary it)
         mcfg = model.cfg
         dtype = jnp.bfloat16 if mcfg.dtype == "bfloat16" else jnp.float32
         mllm = MultiModalLLM(llama=mcfg.llama, qformer=mcfg.qformer,
                              use_vision=mcfg.use_vision, dtype=dtype)
-        cache["gen"] = make_generate_fn(
+        cache[key] = make_generate_fn(
             mllm, SamplingConfig(), max_new_tokens, ids.shape[1],
             tokenizer.eos_id, tokenizer.pad_id)
     vision = jnp.asarray(batch["vision"][:1]) if "vision" in batch else None
-    out = np.asarray(cache["gen"]({"params": params["mllm"]}, vision,
-                                  jnp.asarray(ids),
-                                  jnp.asarray(prompt_mask), rng))
+    out = np.asarray(cache[key]({"params": params["mllm"]}, vision,
+                                jnp.asarray(ids),
+                                jnp.asarray(prompt_mask), rng))
     return trim_and_decode(out[0], tokenizer)
 
 
