@@ -59,14 +59,21 @@ class Predictor:
     @classmethod
     def from_checkpoint(cls, cfg: ExperimentConfig, ckpt_dir: str,
                         example_batch: Dict, **kw):
-        """Restore best-checkpoint params into a fresh init tree."""
-        from tsue_tpu.train.checkpoint import restore_pytree
+        """Restore best-checkpoint params into a fresh init tree.
+
+        Uses restore_merge: frozen-regime best checkpoints hold only the
+        trainable subtree (train/checkpoint.py), so the on-disk structure
+        is merged over the deterministic init — same contract as the eval
+        CLIs.  NB: if training imported a stage-1 MLLM, rebuild params
+        via tsue_tpu.runner.rebuild_for_eval instead (this classmethod
+        has no data pipeline to replay the import)."""
+        from tsue_tpu.train.checkpoint import restore_merge
         model = TrajectoryModel(cfg.model, cfg.data.seq_len,
                                 cfg.data.out_len)
         variables = model.init(
             {"params": jax.random.key(0), "dropout": jax.random.key(1)},
             example_batch, False)
-        params = restore_pytree(ckpt_dir, target=variables["params"])
+        params = restore_merge(ckpt_dir, variables["params"])
         return cls(cfg, params, **kw)
 
     def warmup(self):
