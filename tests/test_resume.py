@@ -45,9 +45,11 @@ def test_resume_exact(small_windows, tmp_path):
     s_a = state
     for b in batches[:2]:
         s_a, _ = step(s_a, b, rng)
-    save_train_state(str(tmp_path / "ts"), s_a)
-    s_b = restore_train_state(str(tmp_path / "ts"), state)
+    save_train_state(str(tmp_path / "ts"), s_a, epoch=2, best_val=0.5)
+    s_b, extra = restore_train_state(str(tmp_path / "ts"), state)
     assert int(s_b.step) == 2
+    # epoch/best_val ride inside the orbax tree, atomic with its commit
+    assert extra == {"epoch": 2, "best_val": 0.5}
     for b in batches[2:]:
         s_b, _ = step(s_b, b, rng)
 
@@ -55,3 +57,47 @@ def test_resume_exact(small_windows, tmp_path):
     for a, b in zip(jax.tree.leaves(s_full.params),
                     jax.tree.leaves(s_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_subset_save_and_crash_swap_fallback(small_windows, tmp_path):
+    """trainable_filter stores only the trainable subtree (frozen leaves
+    rebuilt from the template at restore), and a crash mid-swap leaves a
+    usable `.old` survivor that train_state_path resolves."""
+    import os
+
+    from flax import traverse_util
+    from tsue_tpu.train.checkpoint import train_state_path
+
+    batches, state, step = _setup(small_windows)
+    # treat the ltsf subtree as "frozen" (rebuilt from the template)
+    filt = lambda p: "ltsf" not in p
+    s_a = state
+    for b in batches[:2]:
+        s_a, _ = step(s_a, b, jax.random.key(5))
+    path = str(tmp_path / "ts")
+    save_train_state(path, s_a, epoch=1, best_val=0.25, trainable_filter=filt)
+
+    # on-disk params hold ONLY the trainable subtree
+    flat_all = traverse_util.flatten_dict(jax.tree.map(np.asarray,
+                                                       state.params))
+    kept = {k for k in flat_all if filt(tuple(str(p) for p in k))}
+    assert 0 < len(kept) < len(flat_all)
+    from tsue_tpu.train.checkpoint import checkpoint_tree_shapes
+    stored = {k[1:] for k in checkpoint_tree_shapes(path)
+              if k and k[0] == "params"}
+    assert stored == kept
+
+    s_b, extra = restore_train_state(path, state, trainable_filter=filt)
+    assert extra == {"epoch": 1, "best_val": 0.25}
+    flat_b = traverse_util.flatten_dict(jax.tree.map(np.asarray, s_b.params))
+    flat_a = traverse_util.flatten_dict(jax.tree.map(np.asarray, s_a.params))
+    for k in flat_all:
+        want = flat_a[k] if k in kept else flat_all[k]
+        np.testing.assert_array_equal(flat_b[k], want)
+
+    # crash mid-swap: live dir renamed away, only `.old` remains
+    os.rename(path, path + ".old")
+    assert train_state_path(path) == path + ".old"
+    s_c, extra_c = restore_train_state(path, state, trainable_filter=filt)
+    assert extra_c == {"epoch": 1, "best_val": 0.25}
+    assert int(s_c.step) == 2

@@ -157,10 +157,9 @@ def run_stage2(cfg: ExperimentConfig, data_path: Optional[str] = None,
     # change, and pulling the full 1.3B tree off-device per save is
     # minutes through a remote-tunnel TPU
     from tsue_tpu.train.trainer import freeze_label
-    ckpt = BestCheckpointer(
-        os.path.join(out_dir, "ckpt"),
-        trainable_filter=lambda p: freeze_label(
-            p, cfg.train.freeze_regime) == "train")
+    tfilter = lambda p: freeze_label(p, cfg.train.freeze_regime) == "train"
+    ckpt = BestCheckpointer(os.path.join(out_dir, "ckpt"),
+                            trainable_filter=tfilter)
     rng = jax.random.key(cfg.train.seed)
 
     n_epochs = epochs if epochs is not None else cfg.train.epochs
@@ -180,17 +179,22 @@ def run_stage2(cfg: ExperimentConfig, data_path: Optional[str] = None,
     gen_cache: Dict = {}
     state_dir = os.path.join(out_dir, "ckpt", "state")
     start_epoch = 0
-    if resume and os.path.exists(state_dir):
-        import json
-        from tsue_tpu.train.checkpoint import restore_train_state
-        state = restore_train_state(state_dir, state)
-        with open(state_dir + ".json") as f:
-            side = json.load(f)
-        start_epoch = side["epoch"]
-        ckpt.best_val = side["best_val"]
-        if is_primary():
-            print(f"[resume] epoch {start_epoch}, step {int(state.step)}, "
-                  f"best_val {ckpt.best_val:.6g}")
+    if resume:
+        from tsue_tpu.train.checkpoint import (restore_train_state,
+                                               train_state_path)
+        if train_state_path(state_dir):
+            state, extra = restore_train_state(
+                state_dir, state, trainable_filter=tfilter)
+            start_epoch = extra["epoch"]
+            ckpt.best_val = extra["best_val"]
+            if is_primary():
+                print(f"[resume] epoch {start_epoch}, step "
+                      f"{int(state.step)}, best_val {ckpt.best_val:.6g}")
+        elif is_primary():
+            # loud: a mistyped --out-dir or a pre-first-save crash would
+            # otherwise silently restart at epoch 0 over old artifacts
+            print(f"[resume] nothing to resume at {state_dir}; "
+                  "training from scratch")
     with mesh:
         for epoch in range(start_epoch, n_epochs):
             # per-step losses stay ON DEVICE during the epoch so step
@@ -251,12 +255,9 @@ def run_stage2(cfg: ExperimentConfig, data_path: Optional[str] = None,
             # restores it and continues exactly)
             if save_every and (epoch + 1) % save_every == 0:
                 from tsue_tpu.train.checkpoint import save_train_state
-                save_train_state(state_dir, state)
-                if is_primary():
-                    import json
-                    with open(state_dir + ".json", "w") as f:
-                        json.dump({"epoch": epoch + 1,
-                                   "best_val": ckpt.best_val}, f)
+                save_train_state(state_dir, state, epoch=epoch + 1,
+                                 best_val=ckpt.best_val,
+                                 trainable_filter=tfilter)
 
         # restore best before test (ref train.py:1249-1252)
         if n_epochs > 0 and ckpt.best_val < float("inf"):

@@ -144,12 +144,7 @@ class BestCheckpointer:
         return os.path.join(self.directory, "best")
 
     def _subset(self, params):
-        if self.trainable_filter is None:
-            return params
-        flat = traverse_util.flatten_dict(params)
-        kept = {k: v for k, v in flat.items()
-                if self.trainable_filter(tuple(str(p) for p in k))}
-        return traverse_util.unflatten_dict(kept)
+        return _trainable_subset(params, self.trainable_filter)
 
     def maybe_save(self, val_loss: float, params) -> bool:
         import math
@@ -178,22 +173,93 @@ class BestCheckpointer:
 # Full train-state save/resume (params + opt_state + step)
 # ---------------------------------------------------------------------------
 
-def save_train_state(path: str, state):
+def _trainable_subset(params, trainable_filter):
+    if trainable_filter is None:
+        return params
+    flat = traverse_util.flatten_dict(params)
+    kept = {k: v for k, v in flat.items()
+            if trainable_filter(tuple(str(p) for p in k))}
+    return traverse_util.unflatten_dict(kept)
+
+
+def save_train_state(path: str, state, *, epoch: int = 0,
+                     best_val: float = float("inf"), trainable_filter=None):
     """Persist a TrainState for exact resume (the reference never saves
-    optimizer state or step — SURVEY.md §5 checkpoint gaps)."""
-    save_pytree(path, {"step": np.asarray(state.step),
-                       "params": state.params,
-                       "opt_state": state.opt_state})
+    optimizer state or step — SURVEY.md §5 checkpoint gaps).
+
+    - ``epoch``/``best_val`` ride INSIDE the orbax tree, atomic with its
+      commit, so a crash can never leave state and loop-progress metadata
+      disagreeing (no sidecar file).
+    - ``trainable_filter`` restricts the stored params to the trainable
+      subtree: in the frozen-MLLM regime the 1.3B frozen leaves never
+      change and are rebuilt deterministically at restore time, so
+      persisting them per save is minutes of device->host transfer for
+      zero information (same contract as ``BestCheckpointer``).  The
+      opt_state is stored whole — frozen leaves under
+      ``optax.multi_transform`` are empty ``MaskedNode``s.
+    - the save is crash-safe: orbax finalizes into ``path + ".tmp"``
+      (itself atomic via orbax's rename commit), then the previous good
+      state is swapped out via renames; ``train_state_path`` falls back
+      to the ``.old`` survivor if a crash lands mid-swap, so the last
+      durable checkpoint is never destroyed by a failed save."""
+    path = os.path.abspath(path)
+    tmp = path + ".tmp"
+    save_pytree(tmp, {"step": np.asarray(state.step),
+                      "params": _trainable_subset(state.params,
+                                                  trainable_filter),
+                      "opt_state": state.opt_state,
+                      "extra": {"epoch": np.asarray(int(epoch)),
+                                "best_val": np.asarray(float(best_val))}})
+    if jax.process_index() == 0:
+        import shutil
+        old = path + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(f"swap_train_state:{path}")
 
 
-def restore_train_state(path: str, state):
-    """Restore into an existing TrainState template (same tx/apply_fn)."""
-    target = {"step": np.asarray(state.step), "params": state.params,
-              "opt_state": state.opt_state}
-    tree = restore_pytree(path, target=target)
-    return state.replace(step=jnp_asarray(tree["step"]),
-                         params=tree["params"],
-                         opt_state=tree["opt_state"])
+def train_state_path(path: str) -> Optional[str]:
+    """Resolve the live train-state dir; fall back to the ``.old`` swap
+    survivor a crash mid-``save_train_state`` can leave behind."""
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        return path
+    if os.path.exists(path + ".old"):
+        return path + ".old"
+    return None
+
+
+def restore_train_state(path: str, state, *, trainable_filter=None):
+    """Restore into an existing TrainState template (same tx/apply_fn).
+
+    Returns ``(state, extra)`` with ``extra = {"epoch", "best_val"}`` as
+    saved by ``save_train_state``.  ``trainable_filter`` must match the
+    one used at save time; restored trainable leaves are merged over the
+    template's (deterministically rebuilt) frozen subtree."""
+    resolved = train_state_path(path)
+    if resolved is None:
+        raise FileNotFoundError(f"no train state at {path} (or .old)")
+    target = {"step": np.asarray(state.step),
+              "params": _trainable_subset(state.params, trainable_filter),
+              "opt_state": state.opt_state,
+              "extra": {"epoch": np.asarray(0),
+                        "best_val": np.asarray(float("inf"))}}
+    tree = restore_pytree(resolved, target=target)
+    if trainable_filter is None:
+        params = tree["params"]
+    else:
+        merged = traverse_util.flatten_dict(state.params)
+        merged.update(traverse_util.flatten_dict(tree["params"]))
+        params = traverse_util.unflatten_dict(merged)
+    new = state.replace(step=jnp_asarray(tree["step"]), params=params,
+                        opt_state=tree["opt_state"])
+    return new, {"epoch": int(tree["extra"]["epoch"]),
+                 "best_val": float(tree["extra"]["best_val"])}
 
 
 def jnp_asarray(x):
