@@ -160,3 +160,23 @@ class TestGQAPath:
                                    atol=1e-5, rtol=1e-5)
         np.testing.assert_allclose(np.asarray(gv1), np.asarray(gv2),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_partial_edge_row_block(monkeypatch):
+    """GT % block_rows != 0: the clipped edge block and the %Tq causal row
+    mapping must stay exact (at real scale GT=2112 blocks at 1408)."""
+    import tsue_tpu.ops.flash as flash
+
+    monkeypatch.setattr(flash, "_block_q", lambda tq, tk: 64)
+    tq = tk = 150  # 2 full 64-row blocks + 22-row edge
+    ks = jax.random.split(jax.random.key(3), 3)
+    q = jax.random.normal(ks[0], (B, tq, 4, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, tk, 2, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, tk, 2, D), jnp.float32)
+    mask = (jnp.arange(tk)[None, :] < jnp.array([[tk], [tk - 37]])
+            ).astype(jnp.int32)
+    ours = flash.flash_attention(q, k, v, mask, is_causal=True,
+                                 interpret=True)
+    ref = _xla_attention(q, k, v, mask.astype(bool), True, D ** -0.5)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)

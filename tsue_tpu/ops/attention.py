@@ -84,10 +84,8 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     use_dropout = dropout_rate > 0.0 and dropout_rng is not None
     if _IMPL == "pallas" and not use_dropout:
-        if Hkv != H:  # the flash kernel wants equal head counts
-            rep = H // Hkv
-            k = jnp.repeat(k, rep, axis=2)
-            v = jnp.repeat(v, rep, axis=2)
+        # GQA-native: the kernel folds per-group query heads into its row
+        # axis, so K/V are passed with their Hkv heads (never repeated)
         from tsue_tpu.ops.flash import flash_attention
         return flash_attention(q, k, v, mask=mask, is_causal=is_causal,
                                scale=scale)

@@ -1,30 +1,33 @@
-"""Pallas TPU attention kernel.
+"""Pallas TPU attention kernel (GQA-native).
 
 Replaces the XLA path of ``tsue_tpu.ops.dot_product_attention`` for the
-shapes this framework runs (T <= ~2k): one grid program per (batch*head,
-q-block) computing fp32 logits for its q-block against the FULL K/V rows
-held in VMEM (544x64 fp32 K is ~139 KB — far under the 16 MB VMEM budget),
-with stable softmax and bf16 MXU matmuls.  Compared to the XLA path this
-never materializes the (B, H, Tq, Tk) fp32 logit tensor in HBM, which is
-the memory-bandwidth hot spot of the Llama prefill (SURVEY.md §7).
+shapes this framework runs (T <= ~2k).  The XLA path materializes the
+(B, Hkv, G, Tq, Tk) fp32 probabilities in HBM between its two matmul
+kernels — 2 x 143 MB per layer at Llama-1B prefill dims (bs16, T=528),
+measured 31.6 ms/step of the 129.5 ms single forward (24%) against a
+~2 ms bandwidth/compute floor.  This kernel keeps the probabilities in
+VMEM.
+
+Grid design (the part that matters on TPU, where grid steps execute
+SEQUENTIALLY on the one core): one program per (batch x kv-head) over
+large query-row blocks, processing all G query heads of the group
+against K/V loaded once — no jnp.repeat of K/V anywhere, and no XLA-side
+transposes (blocks slice the natural (B, T, H*D) views).  A previous
+revision used one program per (batch*head, 128 q rows) = 2560 tiny
+programs whose per-program fixed cost made it a wash against XLA; this
+layout runs ~128 programs with ~20x more MXU work each.
 
 Training still differentiates through attention: ``flash_attention`` is a
-``jax.custom_vjp`` whose backward recomputes gradients with the XLA
-formulation (correct, and the bwd was HBM-bound either way).
+``jax.custom_vjp`` whose backward recomputes with the XLA formulation
+(GQA-aware, from tsue_tpu.ops.attention; correct, and the bwd was
+HBM-bound either way).  Memory-wise the kernel remains what lets the
+full-backward 1B regimes fit on one 16 GB chip (no saved logit residuals;
+see tests/test_flash.py).
 
-Measured role (v5e-1, Llama-1B dims, bf16, text 512): inference speed is a
-wash vs XLA (attention is ~8% of FLOPs), but TRAINING MEMORY is decisive —
-the XLA path saves (B, H, T, T) fp32 logit residuals per layer for the
-backward (16 x 660 MB at bs16) and OOMs the 16 GB chip on any full-backward
-regime (joint / lora_only / full_freeze); with this kernel (no saved
-logits; bwd recomputes transiently) + per-layer remat, the joint 1B train
-step fits and runs at ~320 ms (bs8).  Enable via TSUE_ATTENTION=pallas or
-set_attention_impl("pallas") together with LlamaConfig(remat=True).
-
-Kernel-shape policy mirrors the pallas guide: last dim 128-aligned via
-head_dim padding by the caller (Llama head_dim=64 is fine as the minor-most
-dim of (8,128)-tiled fp32 blocks), q blocked at 128 rows, edge blocks
-masked by construction.
+Kernel-shape policy per the pallas guide: last dim D=64 rides as the
+minor-most dim of (8,128)-tiled fp32 blocks; row blocks sized so the fp32
+logits stay under ~6 MB of VMEM; edge blocks are handled by pallas
+clipping with mask arithmetic on global row indices.
 """
 from __future__ import annotations
 
@@ -36,87 +39,152 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 128
 NEG_INF = -1e30
 
 
-def _attention_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *,
-                      scale: float, is_causal: bool, block_q: int,
-                      tq: int, tk: int):
-    iq = pl.program_id(1)
-    q = q_ref[0]                                   # (BQ, D)
-    k = k_ref[0]                                   # (Tk, D)
-    v = v_ref[0]
+def _causal_valid(valid_k, block_q, tq, tk, row0):
+    """(1, Tk) key-validity -> (BQ, Tk) with the causal triangle applied;
+    diagonal offset matches jnp.tril(k=Tk-Tq)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, tk), 0) + row0
+    cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, tk), 1)
+    return valid_k & (cols <= rows + (tk - tq))
+
+
+def _softmax_attend(qg, k, v, valid, scale, out_dtype):
+    """(BQ, D) x (Tk, D) -> (BQ, D): fp32 logits/softmax in VMEM only."""
     logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale  # (BQ, Tk)
-
-    valid = mask_ref[0] > 0                        # (1, Tk)
-    if is_causal:
-        rows = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) \
-            + iq * block_q
-        cols = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        # rows index q positions; with Tq<=Tk the diagonal sits at
-        # cols - (tk - tq), matching jnp.tril(k=Tk-Tq)
-        valid = valid & (cols <= rows + (tk - tq))
+        qg, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale    # (BQ, Tk)
     logits = jnp.where(valid, logits, NEG_INF)
-
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     s = jnp.sum(p, axis=-1, keepdims=True)
     p = p / jnp.maximum(s, 1e-30)
-    out_ref[0] = jax.lax.dot_general(
+    return jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(out_ref.dtype)
+        preferred_element_type=jnp.float32).astype(out_dtype)
+
+
+def _gqa_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, scale: float,
+                is_causal: bool, block_q: int, tq: int, tk: int,
+                groups: int, head_dim: int):
+    ir = pl.program_id(2)
+    k = k_ref[0, 0]                                # (Tk, D)
+    v = v_ref[0, 0]
+    valid = mask_ref[0] > 0                        # (1, Tk)
+    if is_causal:
+        valid = _causal_valid(valid, block_q, tq, tk, ir * block_q)
+    else:
+        valid = jnp.broadcast_to(valid, (block_q, tk))
+    D = head_dim
+    for g in range(groups):                        # static unroll
+        out_ref[0, :, g * D:(g + 1) * D] = _softmax_attend(
+            q_ref[0, :, g * D:(g + 1) * D], k, v, valid, scale,
+            out_ref.dtype)
+
+
+def _folded_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, scale: float,
+                   is_causal: bool, block_q: int, tq: int, tk: int):
+    ir = pl.program_id(1)
+    valid = mask_ref[0] > 0                        # (1, Tk)
+    if is_causal:
+        valid = _causal_valid(valid, block_q, tq, tk, ir * block_q)
+    else:
+        valid = jnp.broadcast_to(valid, (block_q, tk))
+    out_ref[0] = _softmax_attend(q_ref[0], k_ref[0], v_ref[0], valid,
+                                 scale, out_ref.dtype)
+
+
+def _block_q(tq: int, tk: int) -> int:
+    """Largest 128-multiple q block whose fp32 logits fit ~6 MB VMEM."""
+    cap = max(128, (6 * 2 ** 20 // (4 * tk)) // 128 * 128)
+    return min(max(tq, 8), cap)
 
 
 def _flash_fwd_impl(q, k, v, mask, scale: float, is_causal: bool,
                     interpret: bool):
-    """q: (B, Tq, H, D); k/v: (B, Tk, H, D) (heads already repeated);
-    mask: (B, Tk) int32 key-validity."""
-    B, Tq, H, D = q.shape
-    Tk = k.shape[1]
-    BQ = min(DEFAULT_BLOCK_Q, max(8, Tq))
-    qh = jnp.moveaxis(q, 2, 1).reshape(B * H, Tq, D)
-    kh = jnp.moveaxis(k, 2, 1).reshape(B * H, Tk, D)
-    vh = jnp.moveaxis(v, 2, 1).reshape(B * H, Tk, D)
-    maskh = jnp.repeat(mask, H, axis=0)[:, None, :]  # (B*H, 1, Tk)
+    """q: (B, Tq, Hq, D); k/v: (B, Tk, Hkv, D) with Hkv | Hq (GQA-native —
+    no head repetition); mask: (B, Tk) int32 key-validity.
 
-    grid = (B * H, pl.cdiv(Tq, BQ))
+    Two layouts, chosen by Mosaic's block-divisibility rules (last two
+    block dims divisible by (8, 128) or equal to the array dims):
+
+    - group-lane path (Llama: G*D = 256): q/out keep their natural
+      (B, Tq, Hq*D) views (the H,D collapse is a free bitcast); each grid
+      program block-slices one kv head's G*D lane range and loops the G
+      query heads as in-kernel lane slices, each a (BQ, D) x (D, Tk) MXU
+      matmul.  No XLA-side transpose of q/out (a prior revision's
+      (B*Hkv, G*Tq, D) relayout cost ~5 ms/step in copies); only the
+      small K/V (8.6 MB at Llama prefill dims) are transposed.
+    - folded path (small d_model encoders, where G*D < 128 lanes): K/V
+      repeated to Hq heads, heads folded into the batch axis, full-array
+      (Tq, D)/(Tk, D) blocks.
+    """
+    B, Tq, Hq, D = q.shape
+    Tk, Hkv = k.shape[1], k.shape[2]
+    assert Hq % Hkv == 0, (Hq, Hkv)
+    G = Hq // Hkv
+    BQ = _block_q(Tq, Tk)
+    cost = pl.CostEstimate(
+        flops=4 * B * Hq * Tq * Tk * D,
+        bytes_accessed=(2 * B * Hq * Tq * D + 2 * B * Hkv * Tk * D) * 2,
+        transcendentals=B * Hq * Tq * Tk)
+
+    if (G * D) % 128 == 0 and (BQ % 8 == 0 or BQ == Tq):
+        kh = jnp.moveaxis(k, 2, 1)                 # (B, Hkv, Tk, D)
+        vh = jnp.moveaxis(v, 2, 1)
+        out = pl.pallas_call(
+            functools.partial(_gqa_kernel, scale=scale,
+                              is_causal=is_causal, block_q=BQ, tq=Tq,
+                              tk=Tk, groups=G, head_dim=D),
+            grid=(B, Hkv, pl.cdiv(Tq, BQ)),
+            in_specs=[
+                pl.BlockSpec((1, BQ, G * D), lambda b, h, ir: (b, ir, h),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, Tk, D), lambda b, h, ir: (b, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, Tk, D), lambda b, h, ir: (b, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, Tk), lambda b, h, ir: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, BQ, G * D),
+                                   lambda b, h, ir: (b, ir, h),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, Tq, Hq * D), q.dtype),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(q.reshape(B, Tq, Hq * D), kh, vh, mask[:, None, :])
+        return out.reshape(B, Tq, Hq, D)
+
+    if Hkv != Hq:
+        k = jnp.repeat(k, G, axis=2)
+        v = jnp.repeat(v, G, axis=2)
+    qh = jnp.moveaxis(q, 2, 1).reshape(B * Hq, Tq, D)
+    kh = jnp.moveaxis(k, 2, 1).reshape(B * Hq, Tk, D)
+    vh = jnp.moveaxis(v, 2, 1).reshape(B * Hq, Tk, D)
+    maskh = jnp.repeat(mask, Hq, axis=0)[:, None, :]   # (B*Hq, 1, Tk)
     out = pl.pallas_call(
-        functools.partial(_attention_kernel, scale=scale,
-                          is_causal=is_causal, block_q=BQ, tq=Tq, tk=Tk),
-        grid=grid,
+        functools.partial(_folded_kernel, scale=scale, is_causal=is_causal,
+                          block_q=BQ, tq=Tq, tk=Tk),
+        grid=(B * Hq, pl.cdiv(Tq, BQ)),
         in_specs=[
-            pl.BlockSpec((1, BQ, D), lambda bh, iq: (bh, iq, 0),
+            pl.BlockSpec((1, BQ, D), lambda bh, ir: (bh, ir, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Tk, D), lambda bh, iq: (bh, 0, 0),
+            pl.BlockSpec((1, Tk, D), lambda bh, ir: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Tk, D), lambda bh, iq: (bh, 0, 0),
+            pl.BlockSpec((1, Tk, D), lambda bh, ir: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Tk), lambda bh, iq: (bh, 0, 0),
+            pl.BlockSpec((1, 1, Tk), lambda bh, ir: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, BQ, D), lambda bh, iq: (bh, iq, 0),
+        out_specs=pl.BlockSpec((1, BQ, D), lambda bh, ir: (bh, ir, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B * H, Tq, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B * Hq, Tq, D), q.dtype),
+        cost_estimate=cost,
         interpret=interpret,
     )(qh, kh, vh, maskh)
-    return jnp.moveaxis(out.reshape(B, H, Tq, D), 1, 2)
-
-
-def _xla_ref(q, k, v, mask, scale, is_causal):
-    """XLA formulation used for the backward pass and parity tests."""
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    neg = jnp.finfo(jnp.float32).min
-    m = mask[:, None, None, :].astype(bool)
-    if is_causal:
-        Tq, Tk = q.shape[1], k.shape[1]
-        m = m & jnp.tril(jnp.ones((Tq, Tk), bool), k=Tk - Tq)[None, None]
-    logits = jnp.where(m, logits, neg)
-    probs = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+    return jnp.moveaxis(out.reshape(B, Hq, Tq, D), 1, 2)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -131,8 +199,9 @@ def _flash_fwd(q, k, v, mask, scale, is_causal, interpret):
 
 def _flash_bwd(scale, is_causal, interpret, res, g):
     q, k, v, mask = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_ref(q_, k_, v_, mask, scale,
-                                                 is_causal), q, k, v)
+    from tsue_tpu.ops.attention import _xla_attention
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_attention(
+        q_, k_, v_, mask.astype(bool), is_causal, scale), q, k, v)
     # upstream may hand a higher-precision cotangent than the bf16 output
     dq, dk, dv = vjp(g.astype(v.dtype))
     return dq, dk, dv, None
@@ -144,8 +213,9 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 def flash_attention(q, k, v, mask: Optional[jnp.ndarray] = None,
                     is_causal: bool = False, scale: Optional[float] = None,
                     interpret: Optional[bool] = None) -> jnp.ndarray:
-    """Drop-in for the XLA path of dot_product_attention (heads already
-    GQA-repeated by the caller).  4-D masks fall back to XLA."""
+    """Drop-in for the XLA path of dot_product_attention.  GQA-native:
+    k/v keep their Hkv heads (Hkv must divide Hq).  4-D masks fall back
+    to XLA."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if mask is not None and mask.ndim != 2:
