@@ -162,6 +162,81 @@ class TestGQAPath:
                                    atol=1e-5, rtol=1e-5)
 
 
+def _rope_angles(tq, d):
+    pos = jnp.broadcast_to(jnp.arange(tq, dtype=jnp.float32), (B, tq))
+    inv = 1.0 / (500000.0 ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    ang = pos[..., None] * inv
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+@pytest.mark.parametrize("hq,hkv", [(8, 2), (4, 4)])
+@pytest.mark.parametrize("causal", [False, True])
+def test_rope_in_kernel_parity(hq, hkv, causal):
+    """rope=(cos,sin) inside the kernel == pre-applied rope + plain kernel
+    (covers both the GQA-lane rope kernel and the folded-path fallback)."""
+    from tsue_tpu.ops.flash import rope_bthd
+    tq = 48
+    ks = jax.random.split(jax.random.key(11), 3)
+    q = jax.random.normal(ks[0], (B, tq, hq, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, tq, hkv, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, tq, hkv, D), jnp.float32)
+    mask = (jnp.arange(tq)[None, :] < jnp.array([[tq], [tq - 9]])
+            ).astype(jnp.int32)
+    cos, sin = _rope_angles(tq, D)
+    ours = flash_attention(q, k, v, mask, is_causal=causal,
+                           rope=(cos, sin), interpret=True)
+    ref = _xla_attention(rope_bthd(q, cos, sin), rope_bthd(k, cos, sin), v,
+                         mask.astype(bool), causal, D ** -0.5)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_rope_in_kernel_grads():
+    from tsue_tpu.ops.flash import rope_bthd
+    tq, hq, hkv = 24, 8, 2
+    ks = jax.random.split(jax.random.key(12), 3)
+    q = jax.random.normal(ks[0], (B, tq, hq, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, tq, hkv, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, tq, hkv, D), jnp.float32)
+    mask = jnp.ones((B, tq), jnp.int32)
+    cos, sin = _rope_angles(tq, D)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, mask, is_causal=True,
+                                       rope=(cos, sin), interpret=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_attention(
+            rope_bthd(q, cos, sin), rope_bthd(k, cos, sin), v,
+            mask.astype(bool), True, D ** -0.5) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_rope_entrypoint_xla_matches_apply_rope():
+    """dot_product_attention(rope=...) on the XLA path == models.llama
+    apply_rope then attention — pins the bit-compat claim both paths rely
+    on."""
+    from tsue_tpu.models.llama import apply_rope
+    tq, hq, hkv = 16, 8, 2
+    ks = jax.random.split(jax.random.key(13), 3)
+    q = jax.random.normal(ks[0], (B, tq, hq, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, tq, hkv, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, tq, hkv, D), jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(tq), (B, tq))
+    inv = 1.0 / (500000.0 ** (jnp.arange(0, D, 2, dtype=jnp.float32) / D))
+    ang = pos[..., None].astype(jnp.float32) * inv
+    ours = dot_product_attention(q, k, v, is_causal=True,
+                                 rope=(jnp.cos(ang), jnp.sin(ang)))
+    ref = dot_product_attention(apply_rope(q, pos, inv),
+                                apply_rope(k, pos, inv), v, is_causal=True)
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+
+
 def test_partial_edge_row_block(monkeypatch):
     """GT % block_rows != 0: the clipped edge block and the %Tq causal row
     mapping must stay exact (at real scale GT=2112 blocks at 1408)."""

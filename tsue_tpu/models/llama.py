@@ -136,20 +136,28 @@ class LlamaAttention(nn.Module):
         q = q.reshape(B, T, c.num_heads, c.head_dim)
         k = k.reshape(B, T, c.num_kv_heads, c.head_dim)
         v = v.reshape(B, T, c.num_kv_heads, c.head_dim)
-        q = apply_rope(q, positions, inv_freq)
-        k = apply_rope(k, positions, inv_freq)
 
         is_causal = True
+        rope = None
         if kv_cache is not None:
-            # decode: append new kv at cache_index, attend over full cache
+            # decode: the cache stores roped keys, so rope before appending
+            q = apply_rope(q, positions, inv_freq)
+            k = apply_rope(k, positions, inv_freq)
             ck, cv = kv_cache
             ck = jax.lax.dynamic_update_slice(ck, k, (0, cache_index, 0, 0))
             cv = jax.lax.dynamic_update_slice(cv, v, (0, cache_index, 0, 0))
             k, v = ck, cv
             kv_cache = (ck, cv)
             is_causal = False  # mask supplied explicitly by caller
+        else:
+            # prefill/training self-attention: hand the rope to the
+            # attention op as (cos, sin) so the Pallas kernel applies it in
+            # VMEM (identical f32 math to apply_rope either way)
+            angles = positions[..., None].astype(jnp.float32) * inv_freq
+            rope = (jnp.cos(angles), jnp.sin(angles))
 
-        out = dot_product_attention(q, k, v, mask=mask, is_causal=is_causal)
+        out = dot_product_attention(q, k, v, mask=mask, is_causal=is_causal,
+                                    rope=rope)
         out = out.reshape(B, T, c.num_heads * c.head_dim)
         out = LoRADense(c.hidden_size, name="o_proj",
                         lora_r=lr if "o_proj" in c.lora_targets else 0,

@@ -61,7 +61,8 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           is_causal: bool = False,
                           scale: Optional[float] = None,
                           dropout_rate: float = 0.0,
-                          dropout_rng: Optional[jax.Array] = None
+                          dropout_rng: Optional[jax.Array] = None,
+                          rope: Optional[tuple] = None
                           ) -> jnp.ndarray:
     """Scaled dot-product attention.
 
@@ -75,6 +76,11 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         nn.MultiheadAttention semantics); active only when both are set.
         Training-time only — forces the XLA path (the flash kernel has no
         probs-dropout; inference/eval never passes an rng).
+      rope: optional (cos, sin), each (B, T, Dh/2) f32 — apply the Llama
+        rotary embedding to q and k before attending (self-attention only,
+        Tq == Tk).  On the Pallas path this fuses the rope into the kernel
+        (VMEM-resident, no f32 HBM round-trip); otherwise it is pre-applied
+        with bit-identical math.
     Returns: (B, Tq, H, Dh)
     """
     B, Tq, H, Dh = q.shape
@@ -88,7 +94,11 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         # axis, so K/V are passed with their Hkv heads (never repeated)
         from tsue_tpu.ops.flash import flash_attention
         return flash_attention(q, k, v, mask=mask, is_causal=is_causal,
-                               scale=scale)
+                               scale=scale, rope=rope)
+    if rope is not None:
+        from tsue_tpu.ops.flash import rope_bthd
+        q = rope_bthd(q, *rope)
+        k = rope_bthd(k, *rope)
     return _xla_attention(q, k, v, mask, is_causal, scale,
                           dropout_rate if use_dropout else 0.0, dropout_rng)
 

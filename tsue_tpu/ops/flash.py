@@ -65,6 +65,16 @@ def _softmax_attend(qg, k, v, valid, scale, out_dtype):
         preferred_element_type=jnp.float32).astype(out_dtype)
 
 
+def _rope_2d(x, cos, sin):
+    """Llama rotary embedding on (rows, D) with (rows, D/2) f32 cos/sin;
+    f32 math then cast back, bit-matching models.llama.apply_rope."""
+    h = x.shape[-1] // 2
+    x1 = x[:, :h].astype(jnp.float32)
+    x2 = x[:, h:].astype(jnp.float32)
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin],
+                           axis=-1).astype(x.dtype)
+
+
 def _gqa_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, scale: float,
                 is_causal: bool, block_q: int, tq: int, tk: int,
                 groups: int, head_dim: int):
@@ -81,6 +91,31 @@ def _gqa_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, scale: float,
         out_ref[0, :, g * D:(g + 1) * D] = _softmax_attend(
             q_ref[0, :, g * D:(g + 1) * D], k, v, valid, scale,
             out_ref.dtype)
+
+
+def _gqa_rope_kernel(q_ref, k_ref, v_ref, mask_ref, cq_ref, sq_ref,
+                     ck_ref, sk_ref, out_ref, *, scale: float,
+                     is_causal: bool, block_q: int, tq: int, tk: int,
+                     groups: int, head_dim: int):
+    """_gqa_kernel with the rotary embedding applied in VMEM: q/k arrive
+    un-roped, cos/sin ride as tiny (rows, D/2) f32 blocks.  Keeps the
+    rope's f32 intermediates out of HBM entirely (measured ~10 ms/step of
+    f32 copies + lane split/concat churn in the XLA prefill)."""
+    ir = pl.program_id(2)
+    ck, sk = ck_ref[0], sk_ref[0]                  # (Tk, D/2)
+    k = _rope_2d(k_ref[0, 0], ck, sk)              # (Tk, D)
+    v = v_ref[0, 0]
+    valid = mask_ref[0] > 0
+    if is_causal:
+        valid = _causal_valid(valid, block_q, tq, tk, ir * block_q)
+    else:
+        valid = jnp.broadcast_to(valid, (block_q, tk))
+    D = head_dim
+    cq, sq = cq_ref[0], sq_ref[0]                  # (BQ, D/2)
+    for g in range(groups):                        # static unroll
+        qg = _rope_2d(q_ref[0, :, g * D:(g + 1) * D], cq, sq)
+        out_ref[0, :, g * D:(g + 1) * D] = _softmax_attend(
+            qg, k, v, valid, scale, out_ref.dtype)
 
 
 def _folded_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, scale: float,
@@ -101,7 +136,18 @@ def _block_q(tq: int, tk: int) -> int:
     return min(max(tq, 8), cap)
 
 
-def _flash_fwd_impl(q, k, v, mask, scale: float, is_causal: bool,
+def rope_bthd(x, cos, sin):
+    """Rotary embedding on (B, T, H, D) given (B, T, D/2) f32 cos/sin —
+    the same math as models.llama.apply_rope with precomputed angles."""
+    c = cos[:, :, None, :]
+    s = sin[:, :, None, :]
+    xf = x.astype(jnp.float32)
+    x1, x2 = jnp.split(xf, 2, axis=-1)
+    return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s],
+                           axis=-1).astype(x.dtype)
+
+
+def _flash_fwd_impl(q, k, v, mask, cos, sin, scale: float, is_causal: bool,
                     interpret: bool):
     """q: (B, Tq, Hq, D); k/v: (B, Tk, Hkv, D) with Hkv | Hq (GQA-native —
     no head repetition); mask: (B, Tk) int32 key-validity.
@@ -133,30 +179,47 @@ def _flash_fwd_impl(q, k, v, mask, scale: float, is_causal: bool,
     if (G * D) % 128 == 0 and (BQ % 8 == 0 or BQ == Tq):
         kh = jnp.moveaxis(k, 2, 1)                 # (B, Hkv, Tk, D)
         vh = jnp.moveaxis(v, 2, 1)
+        operands = [q.reshape(B, Tq, Hq * D), kh, vh, mask[:, None, :]]
+        in_specs = [
+            pl.BlockSpec((1, BQ, G * D), lambda b, h, ir: (b, ir, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Tk, D), lambda b, h, ir: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Tk, D), lambda b, h, ir: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Tk), lambda b, h, ir: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        kern = _gqa_kernel
+        if cos is not None:
+            assert Tq == Tk, "in-kernel rope assumes self-attention"
+            kern = _gqa_rope_kernel
+            half = D // 2
+            q_rows = pl.BlockSpec((1, BQ, half), lambda b, h, ir: (b, ir, 0),
+                                  memory_space=pltpu.VMEM)
+            k_rows = pl.BlockSpec((1, Tk, half), lambda b, h, ir: (b, 0, 0),
+                                  memory_space=pltpu.VMEM)
+            # cos/sin each passed twice: q-row blocks and full-Tk blocks
+            operands += [cos, sin, cos, sin]
+            in_specs += [q_rows, q_rows, k_rows, k_rows]
         out = pl.pallas_call(
-            functools.partial(_gqa_kernel, scale=scale,
+            functools.partial(kern, scale=scale,
                               is_causal=is_causal, block_q=BQ, tq=Tq,
                               tk=Tk, groups=G, head_dim=D),
             grid=(B, Hkv, pl.cdiv(Tq, BQ)),
-            in_specs=[
-                pl.BlockSpec((1, BQ, G * D), lambda b, h, ir: (b, ir, h),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, Tk, D), lambda b, h, ir: (b, h, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, Tk, D), lambda b, h, ir: (b, h, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, Tk), lambda b, h, ir: (b, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, BQ, G * D),
                                    lambda b, h, ir: (b, ir, h),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((B, Tq, Hq * D), q.dtype),
             cost_estimate=cost,
             interpret=interpret,
-        )(q.reshape(B, Tq, Hq * D), kh, vh, mask[:, None, :])
+        )(*operands)
         return out.reshape(B, Tq, Hq, D)
 
+    if cos is not None:            # folded path: pre-apply the rope
+        q = rope_bthd(q, cos, sin)
+        k = rope_bthd(k, cos, sin)
     if Hkv != Hq:
         k = jnp.repeat(k, G, axis=2)
         v = jnp.repeat(v, G, axis=2)
@@ -187,24 +250,32 @@ def _flash_fwd_impl(q, k, v, mask, scale: float, is_causal: bool,
     return jnp.moveaxis(out.reshape(B, Hq, Tq, D), 1, 2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash(q, k, v, mask, scale, is_causal, interpret):
-    return _flash_fwd_impl(q, k, v, mask, scale, is_causal, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _flash(q, k, v, mask, cos, sin, scale, is_causal, interpret):
+    return _flash_fwd_impl(q, k, v, mask, cos, sin, scale, is_causal,
+                           interpret)
 
 
-def _flash_fwd(q, k, v, mask, scale, is_causal, interpret):
-    return _flash_fwd_impl(q, k, v, mask, scale, is_causal, interpret), \
-        (q, k, v, mask)
+def _flash_fwd(q, k, v, mask, cos, sin, scale, is_causal, interpret):
+    return _flash_fwd_impl(q, k, v, mask, cos, sin, scale, is_causal,
+                           interpret), (q, k, v, mask, cos, sin)
 
 
 def _flash_bwd(scale, is_causal, interpret, res, g):
-    q, k, v, mask = res
+    q, k, v, mask, cos, sin = res
     from tsue_tpu.ops.attention import _xla_attention
-    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_attention(
-        q_, k_, v_, mask.astype(bool), is_causal, scale), q, k, v)
+
+    def ref(q_, k_, v_):
+        if cos is not None:
+            q_ = rope_bthd(q_, cos, sin)
+            k_ = rope_bthd(k_, cos, sin)
+        return _xla_attention(q_, k_, v_, mask.astype(bool), is_causal,
+                              scale)
+
+    _, vjp = jax.vjp(ref, q, k, v)
     # upstream may hand a higher-precision cotangent than the bf16 output
     dq, dk, dv = vjp(g.astype(v.dtype))
-    return dq, dk, dv, None
+    return dq, dk, dv, None, None, None
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -212,14 +283,21 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 def flash_attention(q, k, v, mask: Optional[jnp.ndarray] = None,
                     is_causal: bool = False, scale: Optional[float] = None,
+                    rope: Optional[tuple] = None,
                     interpret: Optional[bool] = None) -> jnp.ndarray:
     """Drop-in for the XLA path of dot_product_attention.  GQA-native:
-    k/v keep their Hkv heads (Hkv must divide Hq).  4-D masks fall back
-    to XLA."""
+    k/v keep their Hkv heads (Hkv must divide Hq).  ``rope=(cos, sin)``
+    ((B, T, D/2) f32 each) applies the rotary embedding to q/k inside the
+    kernel (VMEM) instead of as a separate HBM pass; non-kernel fallbacks
+    pre-apply it with identical math.  4-D masks fall back to XLA."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    cos, sin = rope if rope is not None else (None, None)
     if mask is not None and mask.ndim != 2:
         from tsue_tpu.ops.attention import _xla_attention
+        if cos is not None:
+            q = rope_bthd(q, cos, sin)
+            k = rope_bthd(k, cos, sin)
         return _xla_attention(q, k, v, mask, is_causal, scale)
     B, Tk = k.shape[0], k.shape[1]
     if mask is None:
@@ -227,5 +305,5 @@ def flash_attention(q, k, v, mask: Optional[jnp.ndarray] = None,
     mask = mask.astype(jnp.int32)
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
-    return _flash(q, k, v, mask, float(scale), bool(is_causal),
+    return _flash(q, k, v, mask, cos, sin, float(scale), bool(is_causal),
                   bool(interpret))
