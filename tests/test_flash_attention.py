@@ -88,6 +88,33 @@ def test_attention_impl_switch():
                                atol=2e-5, rtol=2e-5)
 
 
+def test_auto_impl_resolution():
+    """Default "auto" resolves per-platform at trace time: XLA on CPU hosts
+    (where Pallas would run interpreted), the flash kernel on accelerators.
+    Explicit impls always resolve to themselves."""
+    from tsue_tpu.ops import attention as A
+    prev = A.get_attention_impl()
+    try:
+        A.set_attention_impl("auto")
+        resolved = A.resolve_attention_impl()
+        expect = "xla" if jax.devices()[0].platform == "cpu" else "pallas"
+        assert resolved == expect
+        with A.attention_impl("pallas"):
+            assert A.resolve_attention_impl() == "pallas"
+        assert A.resolve_attention_impl() == resolved
+        A.set_attention_impl("xla")
+        assert A.resolve_attention_impl() == "xla"
+        # the entry point still computes correctly under auto
+        A.set_attention_impl("auto")
+        q, k, v = _inputs(16, 16, key=11)
+        ref = _xla_attention(q, k, v, None, True, D ** -0.5)
+        np.testing.assert_allclose(
+            np.asarray(dot_product_attention(q, k, v, is_causal=True)),
+            np.asarray(ref), atol=2e-5, rtol=2e-5)
+    finally:
+        A.set_attention_impl(prev)
+
+
 def test_gqa_via_entrypoint():
     """dot_product_attention repeats KV heads before the kernel."""
     from tsue_tpu.ops import attention as A

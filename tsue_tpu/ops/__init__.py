@@ -1,6 +1,6 @@
 from tsue_tpu.ops.attention import (dot_product_attention,
                                     get_attention_impl, set_attention_impl,
-                                    attention_impl)
+                                    resolve_attention_impl, attention_impl)
 from tsue_tpu.ops.sampling import SamplingConfig, process_and_sample
 from tsue_tpu.ops.flash import flash_attention
 from tsue_tpu.ops.nlinear import nlinear_fused, nlinear_ref

@@ -17,17 +17,28 @@ import jax.numpy as jnp
 
 import os
 
-_IMPL = os.environ.get("TSUE_ATTENTION", "xla")  # "xla" | "pallas"
+_IMPL = os.environ.get("TSUE_ATTENTION", "auto")  # "auto" | "xla" | "pallas"
 
 
 def set_attention_impl(name: str):
     global _IMPL
-    assert name in ("xla", "pallas")
+    assert name in ("auto", "xla", "pallas")
     _IMPL = name
 
 
 def get_attention_impl() -> str:
     return _IMPL
+
+
+def resolve_attention_impl() -> str:
+    """The impl "auto" picks at trace time: the Pallas flash kernel on real
+    accelerators (measured faster than the XLA formulation across prefill,
+    K-candidate eval and both train regimes on the v5e — see PARITY.md),
+    the XLA path on CPU hosts where Pallas would run interpreted (tests
+    opt in to interpret mode explicitly when they want kernel parity)."""
+    if _IMPL != "auto":
+        return _IMPL
+    return "xla" if jax.devices()[0].platform == "cpu" else "pallas"
 
 
 class attention_impl:
@@ -89,7 +100,7 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         scale = Dh ** -0.5
 
     use_dropout = dropout_rate > 0.0 and dropout_rng is not None
-    if _IMPL == "pallas" and not use_dropout:
+    if resolve_attention_impl() == "pallas" and not use_dropout:
         # GQA-native: the kernel folds per-group query heads into its row
         # axis, so K/V are passed with their Hkv heads (never repeated)
         from tsue_tpu.ops.flash import flash_attention
