@@ -37,11 +37,14 @@ class RMSNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        dtype = x.dtype
-        x = x.astype(jnp.float32)
+        from tsue_tpu.ops.fused import (fused_enabled, fused_rmsnorm,
+                                        rmsnorm_ref)
         scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
-        var = jnp.mean(x * x, axis=-1, keepdims=True)
-        return (x * jax.lax.rsqrt(var + self.eps) * scale).astype(dtype)
+        if fused_enabled():
+            # one-pass Pallas kernel (read once, write once); identical
+            # f32 math to the XLA formulation below
+            return fused_rmsnorm(x, scale, self.eps)
+        return rmsnorm_ref(x, scale, self.eps)
 
 
 def rope_inv_freq(cfg: LlamaConfig) -> np.ndarray:
@@ -90,10 +93,20 @@ class LoRADense(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic=True):
+    def __call__(self, x, deterministic=True, swiglu_up=None):
         in_f = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (in_f, self.features))
+        if swiglu_up is not None:
+            # down-projection form: x is the gate, y = (silu(x)*up) @ W.
+            # The fused kernel keeps the (M, intermediate) activation
+            # product in VMEM; silu runs in f32 both ways.
+            from tsue_tpu.ops.fused import fused_enabled, swiglu_matmul
+            if fused_enabled() and self.lora_r == 0 and not self.use_bias:
+                return swiglu_matmul(x, swiglu_up,
+                                     kernel.astype(self.dtype))
+            x = jax.nn.silu(x.astype(jnp.float32)).astype(
+                x.dtype) * swiglu_up
         y = jnp.dot(x, kernel.astype(self.dtype),
                     preferred_element_type=jnp.float32).astype(x.dtype)
         if self.use_bias:
@@ -177,7 +190,7 @@ class LlamaMLP(nn.Module):
         up = LoRADense(c.intermediate_size, name="up_proj",
                        dtype=self.dtype)(x)
         return LoRADense(c.hidden_size, name="down_proj",
-                         dtype=self.dtype)(nn.silu(gate) * up)
+                         dtype=self.dtype)(gate, swiglu_up=up)
 
 
 class LlamaLayer(nn.Module):
