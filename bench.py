@@ -137,7 +137,7 @@ V5E_HBM_BW = 820e9   # bytes/s, v5e peak HBM bandwidth (public spec ~819 GB/s)
 
 
 def bench_decode(vocab_size: int, batch_sizes=(16,), prompt_len: int = 144,
-                 max_new: int = 64, iters: int = 3):
+                 max_new: int = 64, iters: int = 3, int8: bool = False):
     """Sampled-generation throughput (new tokens/sec) with the full
     soft-prefix prefill + KV-cached scan decode (eval/generation.py) --
     per-step LM-head matmul at the given vocab size.
@@ -145,7 +145,11 @@ def bench_decode(vocab_size: int, batch_sizes=(16,), prompt_len: int = 144,
     Sweeps ``batch_sizes`` with INTERLEAVED timing windows (one model
     init; per CLAUDE.md, cross-run comparisons on the shared tunnel are
     noise -- only same-process interleaved numbers are comparable).
-    Returns ({bs: tok/s}, {bs: hbm_utilization}).
+    ``int8=True`` additionally times the int8 weight-only decode
+    (ops/quant.py) interleaved with the bf16 baseline.
+    Returns {variant: ({bs: tok/s}, {bs: hbm_utilization})} with variants
+    "base" (and "int8"); utilization is against each variant's own
+    streamed-byte count, so it shows distance to the same 820 GB/s roof.
 
     Roofline: decode is bandwidth-bound -- every step streams the full
     bf16 weight set (params x 2 bytes; the LM head reads the tied
@@ -185,34 +189,52 @@ def bench_decode(vocab_size: int, batch_sizes=(16,), prompt_len: int = 144,
                            eos_id=vocab_size - 1, pad_id=0)
     key = jax.random.key(0)
 
-    def run(bs, k):
-        return int(np.asarray(gen(
-            variables, vision[:bs], prompt_ids[:bs], prompt_mask[:bs],
-            k)).sum())
+    variants = {"base": variables}
+    n_q = 0
+    if int8:
+        from tsue_tpu.ops.quant import quantize_llama_params
+        qt = jax.jit(quantize_llama_params)(variables["params"])
+        variants["int8"] = {**variables, "quant": qt}
+        n_q = sum(np.prod(x.shape) for x in jax.tree.leaves(qt)
+                  if x.dtype == jnp.int8)
 
-    for bs in batch_sizes:                       # warmup + compile each
-        run(bs, key)
-    best = {bs: float("inf") for bs in batch_sizes}
+    def run(name, bs, k):
+        return int(np.asarray(gen(
+            variants[name], vision[:bs], prompt_ids[:bs],
+            prompt_mask[:bs], k)).sum())
+
+    combos = [(n, bs) for bs in batch_sizes for n in variants]
+    for name, bs in combos:                      # warmup + compile each
+        run(name, bs, key)
+    best = {c_: float("inf") for c_ in combos}
     for w in range(3):                           # interleaved windows
-        for bs in batch_sizes:
+        for name, bs in combos:
             t0 = time.time()
             for i in range(iters):
-                run(bs, jax.random.fold_in(key, w * iters + i))
-            best[bs] = min(best[bs], (time.time() - t0) / iters)
+                run(name, bs, jax.random.fold_in(key, w * iters + i))
+            best[(name, bs)] = min(best[(name, bs)],
+                                   (time.time() - t0) / iters)
 
-    # bytes per decode step: full weight stream + average live KV slice
+    # bytes per decode step: full weight stream + average live KV slice.
+    # int8 streams the quantized projections/LM-head as 1 byte and skips
+    # the bf16 tied-embedding matmul read (the token gather is B rows).
     c = llama
     n_img = mllm.qformer.num_query_tokens
-    weight_bytes = float(n_params) * 2.0
+    weight_bytes = {"base": float(n_params) * 2.0,
+                    "int8": float(n_params - n_q) * 2.0 + float(n_q)}
     avg_len = prompt_len + n_img + max_new / 2.0
-    tok_per_sec, hbm_util = {}, {}
-    for bs in batch_sizes:
-        kv_bytes = (bs * avg_len * c.num_layers * 2 * c.num_kv_heads
-                    * c.head_dim * 2.0)
-        steps_per_sec = max_new / best[bs]
-        tok_per_sec[bs] = bs * steps_per_sec
-        hbm_util[bs] = steps_per_sec * (weight_bytes + kv_bytes) / V5E_HBM_BW
-    return tok_per_sec, hbm_util
+    out = {}
+    for name in variants:
+        tok_per_sec, hbm_util = {}, {}
+        for bs in batch_sizes:
+            kv_bytes = (bs * avg_len * c.num_layers * 2 * c.num_kv_heads
+                        * c.head_dim * 2.0)
+            steps_per_sec = max_new / best[(name, bs)]
+            tok_per_sec[bs] = bs * steps_per_sec
+            hbm_util[bs] = steps_per_sec * (weight_bytes[name] + kv_bytes) \
+                / V5E_HBM_BW
+        out[name] = (tok_per_sec, hbm_util)
+    return out
 
 
 def bench_stage1_step(vocab_size: int, batch_size: int = 8,
@@ -386,17 +408,24 @@ def main():
     # batches amortize the weight reads; utilization = measured
     # bytes/s / 820 GB/s v5e HBM spec (see bench_decode docstring)
     sweep = (16, 32, 64)
-    real_tok, real_util = bench_decode(REAL_VOCAB, batch_sizes=sweep)
+    decode = bench_decode(REAL_VOCAB, batch_sizes=sweep, int8=True)
+    real_tok, real_util = decode["base"]
+    i8_tok, i8_util = decode["int8"]
     for bs in sweep:
         log(f"decode real-vocab bs{bs}: {real_tok[bs]:.0f} tok/s "
-            f"(HBM util {real_util[bs]*100:.0f}%)")
-    byte_tok, _ = bench_decode(BYTE_VOCAB)
+            f"(HBM util {real_util[bs]*100:.0f}%) | int8 "
+            f"{i8_tok[bs]:.0f} tok/s (util {i8_util[bs]*100:.0f}%)")
+    byte_tok, _ = bench_decode(BYTE_VOCAB)["base"]
     log(f"decode byte-vocab: {byte_tok[16]:.0f} tok/s")
     detail["decode_tok_per_sec_vocab128256"] = round(real_tok[16], 1)
     detail["decode_tok_per_sec_vocab128256_by_bs"] = {
         str(bs): round(real_tok[bs], 1) for bs in sweep}
     detail["decode_hbm_utilization_by_bs"] = {
         str(bs): round(real_util[bs], 3) for bs in sweep}
+    detail["decode_tok_per_sec_vocab128256_int8_by_bs"] = {
+        str(bs): round(i8_tok[bs], 1) for bs in sweep}
+    detail["decode_hbm_utilization_int8_by_bs"] = {
+        str(bs): round(i8_util[bs], 3) for bs in sweep}
     detail["decode_tok_per_sec_vocab384"] = round(byte_tok[16], 1)
 
     # --- round-1 continuity: byte-tokenizer vocab (384) ------------------

@@ -107,8 +107,17 @@ class LoRADense(nn.Module):
                                      kernel.astype(self.dtype))
             x = jax.nn.silu(x.astype(jnp.float32)).astype(
                 x.dtype) * swiglu_up
-        y = jnp.dot(x, kernel.astype(self.dtype),
-                    preferred_element_type=jnp.float32).astype(x.dtype)
+        if x.ndim == 3 and x.shape[1] == 1 \
+                and self.has_variable("quant", "w8"):
+            # int8 weight-only decode path (ops/quant.py): active only for
+            # single-token decode steps — prefill/training (T > 1,
+            # compute-bound) keep the bf16 weights
+            from tsue_tpu.ops.quant import int8_matmul
+            y = int8_matmul(x, self.get_variable("quant", "w8"),
+                            self.get_variable("quant", "scale"))
+        else:
+            y = jnp.dot(x, kernel.astype(self.dtype),
+                        preferred_element_type=jnp.float32).astype(x.dtype)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias.astype(y.dtype)
@@ -293,6 +302,14 @@ class LlamaForCausalLM(nn.Module):
         return self.model.embed(input_ids)
 
     def logits_from_hidden(self, hidden):
+        if hidden.ndim == 2 and self.has_variable("quant", "lm_head_w8"):
+            # int8 decode path: the V-wide LM-head stream is the single
+            # largest weight read of a decode step (ops/quant.py)
+            from tsue_tpu.ops.quant import int8_matmul
+            return int8_matmul(hidden,
+                               self.get_variable("quant", "lm_head_w8"),
+                               self.get_variable("quant", "lm_head_scale"),
+                               out_dtype=jnp.float32)
         if self.cfg.tie_word_embeddings:
             w = self.model.embed_tokens.embedding  # (V, D)
             return jnp.dot(hidden, w.T.astype(self.dtype),

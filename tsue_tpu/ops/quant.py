@@ -1,0 +1,171 @@
+"""Int8 weight-only decode: halve the HBM weight stream of the sampler.
+
+The decode hot loop is weight-streaming-bound: every step reads the whole
+2.62 GB bf16 Llama weight set for a few rows of activations (PARITY.md
+decode roofline — ``steps/s <= HBM_BW / bytes_per_step``).  Weight-only
+int8 halves those bytes: kernels are stored per-output-channel symmetric
+int8 (``w8 * scale``), streamed as int8, and dequantized in VMEM on the
+way into the bf16 MXU dot.  Activations stay bf16 — at decode M (= batch
+<= 64) the matmuls are far below the arithmetic-intensity ridge, so the
+win is pure bandwidth.
+
+Plumbing is a flax variable collection: :func:`quantize_llama_params`
+builds a ``"quant"`` tree mirroring the Llama projection modules (plus
+the tied/untied LM head at the ``LlamaForCausalLM`` scope), and
+:func:`with_quantized_decode` attaches it to a ``variables`` dict.  The
+modules (``models.llama.LoRADense`` / ``logits_from_hidden``) consult the
+collection and use the int8 path only for small-M calls — prefill and
+training (large M, compute-bound) keep the bf16 weights untouched, so
+quality-sensitive paths are unchanged and the int8 copy is decode-only.
+
+This is an OPT-IN serving mode (``serve.Predictor(quantize_decode=True)``,
+``bench.py`` int8 decode detail): int8 logits shift sampled draws
+slightly; the logit error is pinned by tests/test_quant.py.
+
+No reference equivalent (the reference serves fp32 HF generate,
+ref scripts/train.py:606-654); this is the TPU-native serving lever.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_PROJ = {"q_proj", "k_proj", "v_proj", "o_proj",
+         "gate_proj", "up_proj", "down_proj"}
+
+
+def quantize_weight(w: jnp.ndarray, axis: int = 0):
+    """Symmetric per-channel int8: ``w ~ w8 * scale`` with the scale per
+    output channel (``axis`` = the contraction axis being reduced over).
+    Returns (w8 int8, scale f32 of shape w.shape[1-axis])."""
+    a = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=axis, keepdims=True)
+    scale = jnp.maximum(a, 1e-8) / 127.0
+    w8 = jnp.clip(jnp.round(w.astype(jnp.float32) / scale),
+                  -127, 127).astype(jnp.int8)
+    return w8, scale.reshape(-1)
+
+
+def int8_matmul_ref(x: jnp.ndarray, w8: jnp.ndarray, scale: jnp.ndarray,
+                    out_dtype=None) -> jnp.ndarray:
+    """XLA formulation: dequant-to-x.dtype matmul, f32 accumulation, scale
+    applied per output channel after the dot (same math as the kernel)."""
+    y = jnp.dot(x, w8.astype(x.dtype),
+                preferred_element_type=jnp.float32) * scale
+    return y.astype(out_dtype or x.dtype)
+
+
+def _int8_kernel(x_ref, w_ref, s_ref, o_ref):
+    y = jax.lax.dot_general(
+        x_ref[...], w_ref[...].astype(x_ref.dtype),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * s_ref[0]
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+def _int8_matmul_impl(x2, w8, scale, out_dtype, interpret: bool):
+    M, K = x2.shape
+    N = w8.shape[1]
+    # one grid step per N block; x rides whole (M <= 128 rows, K <= 8k:
+    # <= 2 MB bf16), w8 tile sized to ~4 MB of VMEM
+    BN = min(N, max(512, 4 * 2 ** 20 // K // 128 * 128))
+    return pl.pallas_call(
+        _int8_kernel,
+        grid=(pl.cdiv(N, BN),),
+        in_specs=[
+            pl.BlockSpec((M, K), lambda n: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, BN), lambda n: (0, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BN), lambda n: (0, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((M, BN), lambda n: (0, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=K * N + M * K * x2.dtype.itemsize
+            + M * N * jnp.dtype(out_dtype).itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(x2, w8, scale.reshape(1, N))
+
+
+def int8_matmul(x: jnp.ndarray, w8: jnp.ndarray, scale: jnp.ndarray,
+                out_dtype=None, interpret: Optional[bool] = None
+                ) -> jnp.ndarray:
+    """``(x @ (w8 * scale))`` with w8 streamed as int8 and dequantized in
+    VMEM.  x: (..., K) with few rows (decode); w8: (K, N) int8; scale:
+    (N,) f32.  Forward-only (no VJP — decode never differentiates).
+    Falls back to the XLA formulation for non-tiling shapes."""
+    out_dtype = out_dtype or x.dtype
+    K = x.shape[-1]
+    N = w8.shape[1]
+    lead = x.shape[:-1]
+    M = 1
+    for d in lead:
+        M *= d
+    if K % 128 != 0 or N % 128 != 0 or M > 128:
+        return int8_matmul_ref(x.reshape(M, K), w8, scale,
+                               out_dtype).reshape(*lead, N)
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    out = _int8_matmul_impl(x.reshape(M, K), w8, scale, out_dtype,
+                            bool(interpret))
+    return out.reshape(*lead, N)
+
+
+def quantize_llama_params(params) -> dict:
+    """Build the ``"quant"`` collection mirroring a params tree.
+
+    Every ``kernel`` of a Llama projection module (q/k/v/o/gate/up/down)
+    gets ``w8``/``scale`` at the same path; the LM head — the tied
+    ``model/embed_tokens/embedding`` table or an untied ``lm_head/kernel``
+    — gets ``lm_head_w8``/``lm_head_scale`` at the owning
+    ``LlamaForCausalLM`` scope (two levels up from ``embed_tokens``).
+    Works on any enclosing tree (the full TSUE/MLLM params included).
+    """
+    def walk(node, out):
+        placed = False
+        for k, v in node.items():
+            if isinstance(v, dict):
+                if k in _PROJ and "kernel" in v:
+                    w8, s = quantize_weight(v["kernel"], axis=0)
+                    out[k] = {"w8": w8, "scale": s}
+                    placed = True
+                    continue
+                sub = {}
+                if walk(v, sub):
+                    out[k] = sub
+                    placed = True
+                if k == "model" and "lm_head" not in node \
+                        and "embed_tokens" in v \
+                        and "embedding" in v.get("embed_tokens", {}):
+                    emb = v["embed_tokens"]["embedding"]     # (V, D)
+                    w8, s = quantize_weight(emb, axis=1)     # per-row
+                    out["lm_head_w8"] = jnp.swapaxes(w8, 0, 1)  # (D, V)
+                    out["lm_head_scale"] = s
+                    placed = True
+                if k == "lm_head" and "kernel" in v:         # untied
+                    w8, s = quantize_weight(v["kernel"], axis=0)
+                    out["lm_head_w8"] = w8
+                    out["lm_head_scale"] = s
+                    placed = True
+        return placed
+
+    quant = {}
+    walk(params, quant)
+    return quant
+
+
+def with_quantized_decode(variables: dict) -> dict:
+    """Return ``variables`` with the int8 decode collection attached.
+    Tied-embedding note: the untransposed bf16 table stays in ``params``
+    for the (tiny-traffic) token-embedding gather; only the V-wide LM-head
+    matmul and the projection streams go int8."""
+    quant = jax.jit(quantize_llama_params)(variables["params"])
+    return {**variables, "quant": quant}

@@ -38,10 +38,15 @@ class Predictor:
 
     def __init__(self, cfg: ExperimentConfig, params,
                  batch_size: int = 16, num_candidates: int = 0,
-                 tokenizer=None):
+                 tokenizer=None, quantize_decode: bool = False):
+        """``quantize_decode``: serve ``generate_context`` with int8
+        weight-only decode (ops/quant.py) — halves the per-step HBM
+        weight stream; prediction/rollout paths are unaffected."""
         self.cfg = cfg
         self.batch_size = batch_size
         self.num_candidates = num_candidates
+        self.quantize_decode = quantize_decode
+        self._quant = None
         self.tokenizer = tokenizer or get_tokenizer()
         self.model = TrajectoryModel(cfg.model, cfg.data.seq_len,
                                      cfg.data.out_len)
@@ -118,10 +123,17 @@ class Predictor:
         mllm = MultiModalLLM(llama=self.cfg.model.llama,
                              qformer=self.cfg.model.qformer,
                              use_vision=self.cfg.model.use_vision)
+        variables = {"params": self.params["mllm"]}
+        if self.quantize_decode:
+            if self._quant is None:
+                from tsue_tpu.ops.quant import quantize_llama_params
+                self._quant = jax.jit(quantize_llama_params)(
+                    self.params["mllm"])
+            variables["quant"] = self._quant
         # prompt-only conditioning: mask the answer span out
         prompt_mask = ds.attention_mask * (ds.labels == -100)
         texts = generate_texts(
-            mllm, {"params": self.params["mllm"]}, self.tokenizer,
+            mllm, variables, self.tokenizer,
             jnp.asarray(ds.vision), ds.input_ids * prompt_mask,
             prompt_mask, rng, max_new_tokens)
         return [{"track_id": int(t), "context": txt}
