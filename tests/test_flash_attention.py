@@ -88,6 +88,24 @@ def test_attention_impl_switch():
                                atol=2e-5, rtol=2e-5)
 
 
+def test_single_query_row_decode_shape():
+    """Tq=1 against a long cache — the KV-cached decode-step shape, which
+    the auto default routes through the kernel on accelerators.  The q
+    block (BQ=8) is larger than Tq; padded rows must be write-clipped
+    without contaminating row 0."""
+    from tsue_tpu.ops.attention import _xla_attention
+    tk = 48
+    q = jax.random.normal(jax.random.key(21), (B, 1, 8, D))
+    k = jax.random.normal(jax.random.key(22), (B, tk, 2, D))
+    v = jax.random.normal(jax.random.key(23), (B, tk, 2, D))
+    mask = jnp.asarray(
+        np.random.default_rng(3).random((B, tk)) > 0.25).astype(jnp.int32)
+    out = flash_attention(q, k, v, mask, is_causal=False, interpret=True)
+    ref = _xla_attention(q, k, v, mask.astype(bool), False, D ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_auto_impl_resolution():
     """Default "auto" resolves per-platform at trace time: XLA on CPU hosts
     (where Pallas would run interpreted), the flash kernel on accelerators.

@@ -100,9 +100,12 @@ class TestQuantCollection:
         D, V = mllm.llama.hidden_size, mllm.llama.vocab_size
         assert quant["llama"]["lm_head_w8"].shape == (D, V)
         assert quant["llama"]["lm_head_scale"].shape == (V,)
-        # norms / qformer / embeddings stay bf16 (no quant entries)
+        # norms / qformer / embeddings stay bf16 (no quant entries), and
+        # the MLLM's vision q_proj Dense (same name, different module)
+        # must not get a dead int8 copy
         assert "input_norm" not in llayers["layer_0"]
         assert "qformer" not in quant
+        assert "q_proj" not in quant
 
     def test_decode_logits_close_and_training_untouched(self, tiny_mllm):
         """Quantized decode-step logits track the bf16 logits within the
@@ -128,7 +131,9 @@ class TestQuantCollection:
         for a, b in ((l0, q0), (l1, q1)):
             diff = np.abs(np.asarray(a) - np.asarray(b)).max()
             spread = np.asarray(a).std()
-            assert diff < 0.25 * spread, (diff, spread)
+            # lower bound pins ENGAGEMENT: int8 logits must actually
+            # differ from the bf16 path (a dead quant path would give 0)
+            assert 0 < diff < 0.25 * spread, (diff, spread)
 
         labels = jnp.where(ids > 50, ids, -100)
         loss = mllm.apply(variables, vision, ids, mask, labels,

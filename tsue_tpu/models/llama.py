@@ -97,18 +97,22 @@ class LoRADense(nn.Module):
         in_f = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (in_f, self.features))
+        decode_quant = (x.ndim == 3 and x.shape[1] == 1
+                        and self.has_variable("quant", "w8"))
         if swiglu_up is not None:
             # down-projection form: x is the gate, y = (silu(x)*up) @ W.
-            # The fused kernel keeps the (M, intermediate) activation
-            # product in VMEM; silu runs in f32 both ways.
+            # The opt-in fused kernel computes silu in f32 (documented
+            # deviation); this default path keeps the original bf16 silu
+            # numerics.  The int8 decode branch below takes precedence so
+            # quantize_decode keeps its halved weight stream even under
+            # TSUE_FUSED=on.
             from tsue_tpu.ops.fused import fused_enabled, swiglu_matmul
-            if fused_enabled() and self.lora_r == 0 and not self.use_bias:
+            if not decode_quant and fused_enabled() and self.lora_r == 0 \
+                    and not self.use_bias:
                 return swiglu_matmul(x, swiglu_up,
                                      kernel.astype(self.dtype))
-            x = jax.nn.silu(x.astype(jnp.float32)).astype(
-                x.dtype) * swiglu_up
-        if x.ndim == 3 and x.shape[1] == 1 \
-                and self.has_variable("quant", "w8"):
+            x = nn.silu(x) * swiglu_up
+        if decode_quant:
             # int8 weight-only decode path (ops/quant.py): active only for
             # single-token decode steps — prefill/training (T > 1,
             # compute-bound) keep the bf16 weights

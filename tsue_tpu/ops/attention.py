@@ -100,7 +100,14 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         scale = Dh ** -0.5
 
     use_dropout = dropout_rate > 0.0 and dropout_rng is not None
-    if resolve_attention_impl() == "pallas" and not use_dropout:
+    # under "auto", single-query decode steps (Tq=1 against the KV cache)
+    # stay on XLA: the kernel's per-call overhead dominates at one query
+    # row — measured 1927 (XLA) vs 1629 (pallas) tok/s in the full decode
+    # loop (scripts/ab_decode_attn.py, interleaved, bs16 Llama-1B).
+    # An EXPLICIT "pallas" still takes the kernel (parity tests rely on it).
+    auto_decode_xla = _IMPL == "auto" and Tq == 1
+    if resolve_attention_impl() == "pallas" and not use_dropout \
+            and not auto_decode_xla:
         # GQA-native: the kernel folds per-group query heads into its row
         # axis, so K/V are passed with their Hkv heads (never repeated)
         from tsue_tpu.ops.flash import flash_attention

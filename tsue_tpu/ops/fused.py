@@ -196,8 +196,14 @@ def _swiglu_fwd_impl(gate, up, w, interpret: bool):
     N = w.shape[1]
     BM = min(M, 256)
     BN = min(N, 512)
+    # BK must DIVIDE K: a partial trailing K block would fold undefined
+    # padded-read data into the accumulation (unlike M/N edges, which are
+    # write-side-only).  K % 128 == 0 is guaranteed by the caller, so the
+    # scan below always terminates at a valid tile.
     BK = min(K, 2048)
-    grid = (pl.cdiv(M, BM), pl.cdiv(N, BN), pl.cdiv(K, BK))
+    while K % BK:
+        BK -= 128
+    grid = (pl.cdiv(M, BM), pl.cdiv(N, BN), K // BK)
     return pl.pallas_call(
         functools.partial(_swiglu_kernel, k_steps=grid[2]),
         grid=grid,
@@ -254,9 +260,8 @@ def swiglu_matmul(gate: jnp.ndarray, up: jnp.ndarray, w: jnp.ndarray,
         M *= d
     # same M < 128 policy as fused_rmsnorm: decode steps stay on XLA
     if K % 128 != 0 or N % 128 != 0 or M < 128:
-        h = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
-        return jnp.dot(h, w, preferred_element_type=jnp.float32).astype(
-            gate.dtype)
+        return swiglu_matmul_ref(gate.reshape(M, K), up.reshape(M, K),
+                                 w).reshape(*lead, N)
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
     out = _swiglu(gate.reshape(M, K), up.reshape(M, K), w, bool(interpret))

@@ -129,17 +129,23 @@ def quantize_llama_params(params) -> dict:
     ``LlamaForCausalLM`` scope (two levels up from ``embed_tokens``).
     Works on any enclosing tree (the full TSUE/MLLM params included).
     """
-    def walk(node, out):
+    def walk(node, out, parent=""):
         placed = False
         for k, v in node.items():
             if isinstance(v, dict):
-                if k in _PROJ and "kernel" in v:
+                # anchor on the Llama block structure (layer_i/attn/q_proj,
+                # layer_i/mlp/gate_proj): other modules reusing a
+                # projection name (e.g. the MLLM's vision q_proj Dense,
+                # models/fusion.py:43) never consult the collection and
+                # must not get dead int8 copies
+                if k in _PROJ and "kernel" in v and parent in ("attn",
+                                                              "mlp"):
                     w8, s = quantize_weight(v["kernel"], axis=0)
                     out[k] = {"w8": w8, "scale": s}
                     placed = True
                     continue
                 sub = {}
-                if walk(v, sub):
+                if walk(v, sub, k):
                     out[k] = sub
                     placed = True
                 if k == "model" and "lm_head" not in node \
