@@ -155,6 +155,49 @@ def test_llama_param_specs_cover_tp_rules():
     assert seen == set(expected), f"rules never matched: {set(expected)-seen}"
 
 
+def test_fsdp_step_matches_single_device(tiny):
+    """dp4 x tp2 with ZeRO-3-style FSDP param sharding: XLA must
+    all-gather weights on use and reduce-scatter grads, with the same
+    update as the single-device step.  min_size lowered so the tiny
+    config's kernels actually shard."""
+    cfg, model, apply_fn, params, batch = tiny
+    ref_loss, ref_params = _one_step(cfg, apply_fn, params, batch)
+
+    mesh = make_mesh(model_parallel=2)
+    with mesh:
+        p = shard_params(params, mesh, fsdp=True, fsdp_min_size=256)
+        # engagement: at least one leaf must actually be data-sharded
+        n_fsdp = sum(
+            1 for leaf in jax.tree_util.tree_leaves(p)
+            if any(a == "data" for a in leaf.sharding.spec))
+        assert n_fsdp > 0
+        b = shard_batch(batch, mesh)
+        loss, new_params = _one_step(cfg, apply_fn, p, b)
+
+    assert np.isclose(ref_loss, loss, rtol=1e-5), (ref_loss, loss)
+    _assert_updates_close(ref_params, new_params, params)
+
+
+def test_fsdp_spec_augmentation():
+    """FSDP picks the largest free divisible dim; composes with TP; small
+    params and non-divisible dims stay put."""
+    from tsue_tpu.parallel.sharding import _fsdp_augment
+    mesh = make_mesh(model_parallel=2)      # data=4, model=2
+    with mesh:
+        # TP'd gate kernel: model on dim 1 -> data goes to dim 0
+        assert _fsdp_augment(P(None, "model"), (2048, 8192), mesh) \
+            == P("data", "model")
+        # plain 2-D kernel: largest dim gets data
+        assert _fsdp_augment(P(), (512, 1024), mesh) == P(None, "data")
+        # small param: untouched
+        assert _fsdp_augment(P(), (64, 64), mesh) == P()
+        # largest dim not divisible by 4 -> next one
+        assert _fsdp_augment(P(), (1023, 512), mesh, min_size=1024) \
+            == P(None, "data")
+        # nothing divisible -> unchanged
+        assert _fsdp_augment(P(), (1023, 513), mesh, min_size=1024) == P()
+
+
 def test_shard_params_divisibility_fallback():
     """An axis tp doesn't divide must fall back to replication, not crash."""
     mesh = make_mesh(model_parallel=8)

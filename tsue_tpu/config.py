@@ -160,10 +160,15 @@ class TrainConfig:
 @dataclass(frozen=True)
 class MeshConfig:
     """Device mesh. data axis = DP (ref DDP/NCCL, scripts/train.py:1044-1049);
-    model axis = optional TP for the 1B Llama (absent in reference)."""
+    model axis = optional TP for the 1B Llama (absent in reference).
+    ``fsdp`` additionally shards large params (and, since optimizer state
+    mirrors param placement, the Adam moments) along the data axis —
+    ZeRO-3-style, composing with TP on the other dim; XLA inserts the
+    per-layer all-gathers/reduce-scatters from the shardings alone."""
     data_axis: str = "data"
     model_axis: str = "model"
     model_parallel: int = 1
+    fsdp: bool = False
 
 
 @dataclass(frozen=True)

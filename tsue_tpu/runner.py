@@ -146,6 +146,14 @@ def run_stage2(cfg: ExperimentConfig, data_path: Optional[str] = None,
         from tsue_tpu.train.checkpoint import restore_merge
         params = restore_merge(restore_ckpt, params)
 
+    if jax.device_count() > 1:
+        # place params per the partition rules: replicated for pure DP,
+        # Megatron TP when cfg.mesh.model_parallel > 1, ZeRO-3-style
+        # param/moment sharding when cfg.mesh.fsdp (the optimizer state
+        # below inherits placement through tx.init's zeros_like)
+        from tsue_tpu.parallel.sharding import shard_params
+        params = shard_params(params, mesh, fsdp=cfg.mesh.fsdp)
+
     def apply_fn(vs, b, det, rngs=None, **kw):
         return model.apply(vs, b, det, rngs=rngs, **kw)
 
