@@ -84,3 +84,38 @@ class TestDebugUtils:
         x = jnp.ones((3,))
         y = nan_probe(x, "x")
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+class TestXplaneReader:
+    """utils/xplane.py: the self-contained trace reader behind
+    scripts/profile_ops.py (SURVEY §5 tracing; no TensorBoard in image)."""
+
+    def test_parse_real_trace(self, tmp_path):
+        import jax
+
+        f = jax.jit(lambda x: jnp.sin(x) @ x.T)
+        x = jnp.ones((64, 64))
+        f(x).block_until_ready()
+        jax.profiler.start_trace(str(tmp_path))
+        f(x).block_until_ready()
+        jax.profiler.stop_trace()
+
+        from tsue_tpu.utils.xplane import (find_xplane, op_durations,
+                                           summarize)
+        pb = find_xplane(str(tmp_path))
+        agg = op_durations(pb, plane_filter="", line_filter="")
+        assert agg, "no events parsed from a real trace"
+        assert all(r["ps"] >= 0 and r["count"] >= 1 for r in agg.values())
+        text = summarize(agg, top=5)
+        assert "total leaf device time" in text and "by opcode" in text
+
+    def test_wire_parser_roundtrip(self):
+        # hand-built message: field 1 varint 300, field 2 bytes "ab",
+        # field 3 fixed64, field 4 fixed32
+        import struct
+        buf = (bytes([0x08, 0xAC, 0x02]) + bytes([0x12, 0x02]) + b"ab"
+               + bytes([0x19]) + struct.pack("<Q", 7)
+               + bytes([0x25]) + struct.pack("<I", 9))
+        from tsue_tpu.utils.xplane import parse_message
+        fields = parse_message(buf)
+        assert fields == [(1, 0, 300), (2, 2, b"ab"), (3, 1, 7), (4, 5, 9)]

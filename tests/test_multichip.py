@@ -207,6 +207,23 @@ def test_shard_params_divisibility_fallback():
     assert sh.spec == P()
 
 
+def test_runner_tp_fsdp_smoke(tmp_path):
+    """run_stage2 end-to-end with model_parallel=2 + fsdp=True: exercises
+    the runner's shard_params placement wiring on the virtual mesh (the
+    sharded-step math itself is pinned by the equivalence tests above)."""
+    import dataclasses
+
+    from test_runner_pipeline import _tiny_cfg
+    from tsue_tpu.config import MeshConfig
+    from tsue_tpu.runner import run_stage2
+
+    cfg = dataclasses.replace(
+        _tiny_cfg(), mesh=MeshConfig(model_parallel=2, fsdp=True))
+    m = run_stage2(cfg, None, str(tmp_path), epochs=1, save_viz=False,
+                   synthetic_tracks=8)
+    assert np.isfinite(m["test_ade"]) and m["test_ade"] > 0
+
+
 def test_process_allgather_eval_gather():
     """The eval gather path (generation.py:152-158).  Single-process, so the
     gather must be an identity-shaped no-op over mesh-sharded arrays."""
