@@ -86,6 +86,38 @@ def test_generate_context_with_llm():
     assert all(isinstance(r["context"], str) for r in out)
 
 
+def test_generate_context_quantized_decode():
+    """quantize_decode=True builds the int8 collection once, threads it
+    through generation, and still produces text (ops/quant.py)."""
+    import dataclasses
+    from tsue_tpu.config import LlamaConfig, QFormerConfig
+    from tsue_tpu.data.tokenizer import ByteTokenizer
+    tok = ByteTokenizer()
+    cfg = dataclasses.replace(
+        CFG,
+        data=DataConfig(seq_len=6, out_len=6, max_length=640),
+        model=ModelConfig(
+            llama=LlamaConfig.tiny(tok.vocab_size),
+            qformer=QFormerConfig(num_encoder_layers=1, num_decoder_layers=1,
+                                  num_query_tokens=4),
+            lane=LaneEncoderConfig(d_model=16, nhead=2, num_layers=1),
+            ltsf=LTSFConfig(d_model=16, polygon_embed_dim=16)))
+    model = TrajectoryModel(cfg.model, 6, 6)
+    dummy = Predictor(cfg, None, batch_size=2)._dummy_batch()
+    vs = model.init({"params": jax.random.key(0),
+                     "dropout": jax.random.key(1)}, dummy, False)
+    p = Predictor(cfg, vs["params"], batch_size=2, quantize_decode=True)
+    tracks = make_synthetic_tracks(num_tracks=2, track_len=300, seed=9)
+    out = p.generate_context(tracks, max_new_tokens=4)
+    assert len(out) == 2
+    assert all(isinstance(r["context"], str) for r in out)
+    # the quant collection was built and has int8 projections
+    assert p._quant is not None
+    import jax.numpy as jnp
+    leaves = jax.tree_util.tree_leaves(p._quant)
+    assert any(l.dtype == jnp.int8 for l in leaves)
+
+
 def test_warmup_prevents_retrace(predictor):
     """predict() must reuse the warmup executable (same pytree keys)."""
     tracks = make_synthetic_tracks(num_tracks=2, track_len=300, seed=10)
