@@ -109,3 +109,35 @@ def baseline_main(name: str, doc: str, default_k: int = 0):
     finish(run_baseline(name, cfg, args.data, args.out_dir,
                         epochs=args.epochs, eval_candidates=args.k,
                         synthetic_tracks=args.synthetic_tracks))
+
+
+def build_decode_workload(batch_size: int = 16, prompt_len: int = 144,
+                          vocab: int = 128256, max_new: int = 64):
+    """The canonical decode micro-bench setup shared by ab_decode_attn /
+    profile_ops: real-vocab 1B MLLM in bf16 + a jittable generate fn.
+    Returns (gen, variables, (vision, ids, mask))."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from tsue_tpu.config import LlamaConfig, QFormerConfig
+    from tsue_tpu.eval.generation import make_generate_fn
+    from tsue_tpu.models.fusion import MultiModalLLM
+    from tsue_tpu.ops.sampling import SamplingConfig
+
+    mllm = MultiModalLLM(LlamaConfig(vocab_size=vocab), QFormerConfig(),
+                         dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    vision = jnp.asarray(rng.standard_normal((batch_size, 18, 512)),
+                         jnp.float32)
+    ids = jnp.asarray(rng.integers(3, min(vocab, 50000),
+                                   (batch_size, prompt_len)), jnp.int32)
+    mask = jnp.ones((batch_size, prompt_len), jnp.int32)
+    variables = jax.jit(lambda v, i, m: mllm.init(
+        {"params": jax.random.key(0)}, v, i, m, True))(
+            vision[:1], ids[:1], mask[:1])
+    variables = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        variables)
+    gen = make_generate_fn(mllm, SamplingConfig(), max_new, prompt_len,
+                           eos_id=vocab - 1, pad_id=0)
+    return gen, variables, (vision, ids, mask)

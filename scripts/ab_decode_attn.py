@@ -2,6 +2,13 @@
 loop (Tq=1 against the cache) — the one shape class the flash kernel's
 "measured faster" claim did not cover when it became the default.
 
+CAVEAT: the impl scope covers the WHOLE generate program, so the "xla"
+arm also forces XLA for the prefill — neither arm is exactly the shipped
+auto config (Pallas prefill + XLA Tq=1 decode).  The 64-step decode
+dominates the call (~85%+ of time), so the comparison direction is
+about decode attention, but treat the absolute tok/s as lower bounds on
+the shipped path.
+
     python scripts/ab_decode_attn.py [--bs 16] [--iters 2] [--windows 3]
 
 Prints one JSON line {variant: tok_per_sec}.
@@ -30,13 +37,9 @@ def main():
         jax.config.update("jax_platforms", args.platform)
 
     import jax
-    import jax.numpy as jnp
     import numpy as np
-    from tsue_tpu.config import LlamaConfig, QFormerConfig
-    from tsue_tpu.eval.generation import make_generate_fn
-    from tsue_tpu.models.fusion import MultiModalLLM
+    from _common import build_decode_workload
     from tsue_tpu.ops.attention import attention_impl
-    from tsue_tpu.ops.sampling import SamplingConfig
 
     try:
         from tsue_tpu.utils.jax_cache import configure
@@ -44,28 +47,14 @@ def main():
     except Exception:
         pass
     log(f"device: {jax.devices()[0]}")
-
-    vocab, prompt_len, bs = 128256, 144, args.bs
-    llama = LlamaConfig(vocab_size=vocab)
-    mllm = MultiModalLLM(llama, QFormerConfig(), dtype=jnp.bfloat16)
-    rng = np.random.default_rng(0)
-    vision = jnp.asarray(rng.standard_normal((bs, 18, 512)), jnp.float32)
-    ids = jnp.asarray(rng.integers(3, 50000, (bs, prompt_len)), jnp.int32)
-    mask = jnp.ones((bs, prompt_len), jnp.int32)
     log("init...")
-    variables = jax.jit(lambda v, i, m: mllm.init(
-        {"params": jax.random.key(0)}, v, i, m, True))(
-            vision[:1], ids[:1], mask[:1])
-    variables = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-        variables)
 
     key = jax.random.key(0)
     gens = {}
     for impl in ("xla", "pallas"):
         with attention_impl(impl):   # trace+compile inside the scope
-            gen = make_generate_fn(mllm, SamplingConfig(), args.max_new,
-                                   prompt_len, eos_id=vocab - 1, pad_id=0)
+            gen, variables, (vision, ids, mask) = build_decode_workload(
+                batch_size=args.bs, max_new=args.max_new)
             t0 = time.time()
             int(np.asarray(gen(variables, vision, ids, mask, key)).sum())
         gens[impl] = gen

@@ -25,25 +25,8 @@ def run_workload(name: str, out_dir: str):
     configure(jax, min_secs=5.0)
 
     if name == "decode":
-        from tsue_tpu.config import LlamaConfig, QFormerConfig
-        from tsue_tpu.eval.generation import make_generate_fn
-        from tsue_tpu.models.fusion import MultiModalLLM
-        from tsue_tpu.ops.sampling import SamplingConfig
-        vocab, prompt_len, bs = 128256, 144, 16
-        mllm = MultiModalLLM(LlamaConfig(vocab_size=vocab), QFormerConfig(),
-                             dtype=jnp.bfloat16)
-        rng = np.random.default_rng(0)
-        vision = jnp.asarray(rng.standard_normal((bs, 18, 512)), jnp.float32)
-        ids = jnp.asarray(rng.integers(3, 50000, (bs, prompt_len)), jnp.int32)
-        mask = jnp.ones((bs, prompt_len), jnp.int32)
-        variables = jax.jit(lambda v, i, m: mllm.init(
-            {"params": jax.random.key(0)}, v, i, m, True))(
-                vision[:1], ids[:1], mask[:1])
-        variables = jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16)
-            if x.dtype == jnp.float32 else x, variables)
-        gen = make_generate_fn(mllm, SamplingConfig(), 64, prompt_len,
-                               eos_id=vocab - 1, pad_id=0)
+        from _common import build_decode_workload
+        gen, variables, (vision, ids, mask) = build_decode_workload()
         key = jax.random.key(0)
         run = lambda k: int(np.asarray(
             gen(variables, vision, ids, mask, k)).sum())
@@ -74,7 +57,9 @@ def main():
     p.add_argument("--out", default="/tmp/tsue_profile")
     p.add_argument("--parse", default=None,
                    help="skip tracing; parse this trace dir")
-    p.add_argument("--plane", default="TPU")
+    p.add_argument("--plane", default=None,
+                   help="plane-name substring; default: TPU on "
+                        "accelerators, CPU under --platform cpu")
     p.add_argument("--top", type=int, default=20)
     p.add_argument("--platform", default=None)
     args = p.parse_args()
@@ -86,8 +71,17 @@ def main():
     trace_dir = args.parse or run_workload(args.workload, args.out)
     pb = find_xplane(trace_dir)
     log(f"parsing {pb}")
-    print(summarize(op_durations(pb, plane_filter=args.plane),
-                    top=args.top))
+    plane = args.plane
+    if plane is None:
+        import jax
+        plane = "CPU" if jax.devices()[0].platform == "cpu" else "TPU"
+    agg = op_durations(pb, plane_filter=plane)
+    if not agg:
+        # loud, not a silent all-zero report: the plane filter missed
+        raise SystemExit(
+            f"no events matched plane filter {plane!r} in {pb}; "
+            "try --plane '' to list everything")
+    print(summarize(agg, top=args.top))
 
 
 if __name__ == "__main__":

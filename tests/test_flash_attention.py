@@ -89,10 +89,12 @@ def test_attention_impl_switch():
 
 
 def test_single_query_row_decode_shape():
-    """Tq=1 against a long cache — the KV-cached decode-step shape, which
-    the auto default routes through the kernel on accelerators.  The q
-    block (BQ=8) is larger than Tq; padded rows must be write-clipped
-    without contaminating row 0."""
+    """Tq=1 against a long cache — the KV-cached decode-step shape.
+    Under "auto" this shape routes to XLA (kernel per-call overhead loses
+    at one query row); the kernel remains reachable via an explicit
+    TSUE_ATTENTION=pallas, so its Tq=1 output must still be correct: the
+    q block (BQ=8) is larger than Tq and padded rows must be
+    write-clipped without contaminating row 0."""
     from tsue_tpu.ops.attention import _xla_attention
     tk = 48
     q = jax.random.normal(jax.random.key(21), (B, 1, 8, D))
