@@ -166,10 +166,15 @@ def test_fsdp_step_matches_single_device(tiny):
     mesh = make_mesh(model_parallel=2)
     with mesh:
         p = shard_params(params, mesh, fsdp=True, fsdp_min_size=256)
-        # engagement: at least one leaf must actually be data-sharded
-        n_fsdp = sum(
-            1 for leaf in jax.tree_util.tree_leaves(p)
-            if any(a == "data" for a in leaf.sharding.spec))
+        # engagement: at least one leaf must actually be data-sharded,
+        # and its per-device footprint must shrink by the dp degree (the
+        # point of ZeRO-3: each device holds 1/dp of the big params)
+        n_fsdp = 0
+        for leaf in jax.tree_util.tree_leaves(p):
+            if any(a == "data" for a in leaf.sharding.spec):
+                n_fsdp += 1
+                shard_bytes = leaf.addressable_shards[0].data.nbytes
+                assert shard_bytes * mesh.shape["data"] <= leaf.nbytes
         assert n_fsdp > 0
         b = shard_batch(batch, mesh)
         loss, new_params = _one_step(cfg, apply_fn, p, b)
