@@ -295,7 +295,8 @@ def bench_stage1_step(vocab_size: int, batch_size: int = 8,
     return best * 1000.0
 
 
-def bench_train_step(cfg, model, params, batch, iters: int = 5):
+def bench_train_step(cfg, model, params, batch, iters: int = 5,
+                     rng_impl: str = "threefry2x32"):
     """One stage-2 training step (fwd+bwd+update) latency, ms.
 
     Matches the production runner: donated state (runner.py jits with
@@ -314,7 +315,7 @@ def bench_train_step(cfg, model, params, batch, iters: int = 5):
     tx = make_optimizer(cfg, own)
     state = TrainState.create(apply_fn, own, tx)
     step = jax.jit(make_train_step(cfg), donate_argnums=0)
-    rng = jax.random.key(0)
+    rng = jax.random.key(0, impl=rng_impl)
     state, m = step(state, batch, rng)
     float(m["loss"])  # warmup + compile
 
@@ -381,6 +382,11 @@ def main():
     import dataclasses
     frozen_ms = bench_train_step(tcfg, tmodel, tparams, tbatch)
     log(f"train step frozen-MLLM: {frozen_ms:.0f} ms (bs16, 18->30)")
+    # rng_impl="rbg" (TrainConfig knob): hardware-RNG dropout stream —
+    # the interleaved A/B measured -11% vs threefry on this step
+    frozen_rbg_ms = bench_train_step(tcfg, tmodel, tparams, tbatch,
+                                     rng_impl="rbg")
+    log(f"train step frozen-MLLM (rbg rng): {frozen_rbg_ms:.0f} ms")
     # joint regime backprops through all 16 Llama layers AND keeps AdamW
     # moments for 1.31B params; per-layer remat keeps the activations
     # inside one v5e chip's HBM at the reference batch size
@@ -395,6 +401,7 @@ def main():
     joint_ms = bench_train_step(jcfg, jmodel, tparams, tbatch)
     log(f"train step joint      : {joint_ms:.0f} ms (bs16, 18->30, remat)")
     detail["train_step_frozen_mllm_ms_bs16"] = round(frozen_ms, 1)
+    detail["train_step_frozen_mllm_ms_bs16_rbg"] = round(frozen_rbg_ms, 1)
     detail["train_step_joint_remat_ms_bs16"] = round(joint_ms, 1)
     del tparams, tbatch
 

@@ -38,6 +38,11 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--tokenizer", default=None,
                    help="local HF tokenizer path/name (byte tokenizer if "
                         "unset or unavailable)")
+    p.add_argument("--rng-impl", default=None,
+                   choices=("threefry2x32", "rbg"),
+                   help="training PRNG: threefry2x32 (default, bit-stable "
+                        "across backends) or rbg (TPU hardware RNG, "
+                        "measured -11%% on the 1B frozen train step)")
     return p
 
 
@@ -77,6 +82,8 @@ def apply_overrides(cfg, args):
         tr = dataclasses.replace(tr, batch_size=args.batch_size)
     if args.lr is not None:
         tr = dataclasses.replace(tr, lr=args.lr)
+    if getattr(args, "rng_impl", None):
+        tr = dataclasses.replace(tr, rng_impl=args.rng_impl)
     cfg = dataclasses.replace(cfg, train=tr)
     if getattr(args, "tiny", False):
         from tsue_tpu.config import (LlamaConfig, LaneEncoderConfig,

@@ -48,6 +48,18 @@ def test_run_stage2_pipeline(tmp_path):
     assert any(v.startswith("test_candidates") for v in viz)
 
 
+def test_train_rbg_rng_impl(tmp_path):
+    """TrainConfig.rng_impl='rbg' (hardware-RNG dropout stream, the -11%
+    train-step knob) trains end-to-end; rbg lowers via RngBitGenerator on
+    CPU too, so the pipeline must be impl-agnostic."""
+    cfg = _tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, rng_impl="rbg"))
+    m = run_stage2(cfg, None, str(tmp_path), epochs=1, save_viz=False,
+                   synthetic_tracks=8)
+    assert np.isfinite(m["test_ade"]) and m["test_ade"] > 0
+
+
 def test_run_stage2_resume_reproduces_uninterrupted(tmp_path):
     """run_stage2(save_every=1) interrupted after 1 of 3 epochs, then
     resume=True for the rest == one uninterrupted 3-epoch run (per-step

@@ -153,6 +153,14 @@ class TrainConfig:
     freeze_regime: str = "frozen_mllm"
     nan_guard: bool = True     # skip non-finite updates (ref modify_train.py:1188-1194)
     seed: int = 42
+    # PRNG implementation for the training rng ("threefry2x32" default =
+    # JAX's counter-based PRNG, bit-stable across backends/versions;
+    # "rbg" = the TPU hardware RNG — equally random dropout masks drawn
+    # from a different stream, measured -11% on the frozen-MLLM 1B train
+    # step (171.6 -> 153.0 ms interleaved) because threefry mask
+    # generation is VPU-heavy.  Same knob the parity-eval "optimized"
+    # mode uses (PARITY.md "Parity-mode eval profile").
+    rng_impl: str = "threefry2x32"
     eval_num_candidates: int = 10
     log_every: int = 50
 
