@@ -67,6 +67,12 @@ class LlamaConfig:
     rms_norm_eps: float = 1e-5
     tie_word_embeddings: bool = True
     remat: bool = False   # rematerialize each layer (memory <-> FLOPs)
+    # remat policy when remat=True: "full" recomputes everything in the
+    # backward (minimum memory); "dots" saves matmul outputs and recomputes
+    # only elementwise/norm ops (jax.checkpoint_policies.checkpoint_dots —
+    # skips the expensive MXU recompute at ~hundreds of MB/layer of saved
+    # activations; measured on the joint 1.31B step, see PARITY.md)
+    remat_policy: str = "full"
     # chunked LM-loss: >0 computes the causal-LM CE in sequence chunks of
     # this size without materializing the (B, T, 128256) logits (identical
     # value/grads to the dense loss; see models/llama.py

@@ -32,6 +32,26 @@ from tsue_tpu.config import LlamaConfig
 from tsue_tpu.ops.attention import dot_product_attention
 
 
+def _remat_policy(name: str):
+    """Map LlamaConfig.remat_policy to a jax.checkpoint policy.
+
+    "full" (None) recomputes the whole layer in the backward — minimum
+    memory, +1 forward of FLOPs.  "dots" saves every matmul output
+    (jax.checkpoint_policies.checkpoint_dots) so the backward recomputes
+    only the cheap elementwise/norm/rope ops — costs activation memory
+    (~0.4 GB/layer at B=16, T=528 for the 1B dims) to skip the MXU
+    recompute.
+    """
+    if name in ("full", "", None):
+        return None
+    if name == "dots":
+        return jax.checkpoint_policies.checkpoint_dots
+    if name == "dots_no_batch":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    raise ValueError(f"unknown remat_policy {name!r} "
+                     "(expected full|dots|dots_no_batch)")
+
+
 class RMSNorm(nn.Module):
     eps: float = 1e-5
 
@@ -244,7 +264,8 @@ class LlamaModel(nn.Module):
             # trade recompute for activation memory (jax.checkpoint per
             # layer) — lets the 1B model train long sequences on one chip
             # static_argnums counts self at 0: deterministic is arg 5
-            layer_cls = nn.remat(LlamaLayer, static_argnums=(5,))
+            layer_cls = nn.remat(LlamaLayer, static_argnums=(5,),
+                                 policy=_remat_policy(c.remat_policy))
         self.layers = [layer_cls(c, self.dtype, name=f"layer_{i}")
                        for i in range(c.num_layers)]
         self.final_norm = RMSNorm(c.rms_norm_eps, name="final_norm")

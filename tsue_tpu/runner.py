@@ -760,10 +760,13 @@ def run_stage1(cfg: ExperimentConfig, data_path: Optional[str] = None,
     tl, tn = 0.0, 0
     for epoch in range(n_epochs):
         losses = []  # device scalars; fetched once per epoch
+        # rng_impl="rbg" applies here too: hardware-PRNG dropout keys
+        # measured -4.7% on the 1.31B stage-1 step (PARITY.md)
+        epoch_key = jax.random.key(epoch, impl=cfg.train.rng_impl)
         for si, b in enumerate(_batches(dtr, cfg, True, epoch)):
             params, opt_state, m = step(
                 params, opt_state, _to_device(b),
-                jax.random.fold_in(jax.random.key(epoch), si))
+                jax.random.fold_in(epoch_key, si))
             losses.append(m["lm_loss"])
         tl = sum(float(x) for x in losses)
         tn = len(losses)
