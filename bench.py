@@ -400,9 +400,22 @@ def main():
     jmodel = TrajectoryModel(jcfg.model, 18, 30)
     joint_ms = bench_train_step(jcfg, jmodel, tparams, tbatch)
     log(f"train step joint      : {joint_ms:.0f} ms (bs16, 18->30, remat)")
+    # optimized joint: remat_policy="dots" (backward recomputes only
+    # elementwise ops, -10.7% interleaved) + rbg dropout keys (-5.2%) —
+    # scripts/ab_remat_policy.py / ab_rng_steps.py; identical numerics
+    jocfg = dataclasses.replace(
+        jcfg,
+        model=dataclasses.replace(
+            jcfg.model, llama=dataclasses.replace(jcfg.model.llama,
+                                                  remat_policy="dots")))
+    jomodel = TrajectoryModel(jocfg.model, 18, 30)
+    joint_opt_ms = bench_train_step(jocfg, jomodel, tparams, tbatch,
+                                    rng_impl="rbg")
+    log(f"train step joint (dots+rbg): {joint_opt_ms:.0f} ms")
     detail["train_step_frozen_mllm_ms_bs16"] = round(frozen_ms, 1)
     detail["train_step_frozen_mllm_ms_bs16_rbg"] = round(frozen_rbg_ms, 1)
     detail["train_step_joint_remat_ms_bs16"] = round(joint_ms, 1)
+    detail["train_step_joint_remat_ms_bs16_optimized"] = round(joint_opt_ms, 1)
     del tparams, tbatch
 
     # --- stage-1 LM fine-tune step (ref check_generation.py train side) --

@@ -15,23 +15,15 @@ def main():
                    help="compute the LM loss in sequence chunks of this "
                         "size (no (B,T,128256) logit materialization; "
                         "identical numerics — models/llama.py)")
-    p.add_argument("--remat", action="store_true",
-                   help="per-layer rematerialization (needed for the "
-                        "full-size model's backward on one chip unless "
-                        "--loss-chunk frees enough HBM)")
-    args = p.parse_args()
+    args = p.parse_args()  # --remat/--remat-policy live in base_parser
     from tsue_tpu.config import get_preset
     from tsue_tpu.runner import run_stage1
     cfg = apply_overrides(get_preset("train_18_30"), args)
-    if args.loss_chunk is not None or args.remat:
+    if args.loss_chunk is not None:
         import dataclasses
-        llama = dataclasses.replace(
-            cfg.model.llama,
-            loss_chunk=(args.loss_chunk if args.loss_chunk is not None
-                        else cfg.model.llama.loss_chunk),
-            remat=args.remat or cfg.model.llama.remat)
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
-            cfg.model, llama=llama))
+            cfg.model, llama=dataclasses.replace(
+                cfg.model.llama, loss_chunk=args.loss_chunk)))
     finish(run_stage1(cfg, args.data, args.out_dir, epochs=args.epochs,
                       export_path=args.export,
                       synthetic_tracks=args.synthetic_tracks,
