@@ -237,13 +237,19 @@ def bench_decode(vocab_size: int, batch_sizes=(16,), prompt_len: int = 144,
     return out
 
 
-def bench_stage1_step(vocab_size: int, batch_size: int = 8,
-                      text_len: int = 512, iters: int = 3):
-    """Stage-1 MLLM LM fine-tune step latency, ms (fwd+bwd+update of the
-    causal-LM loss over the fused [img || text] sequence at the full
-    vocab).  The production path: train/stage1.py make_stage1_train_step
-    (LoRA + Q-Former + modality embeddings trainable, base Llama frozen).
-    Ref flow: the training side of scripts/check_generation.py."""
+def stage1_step_setup(vocab_size: int, batch_size: int = 8,
+                      text_len: int = 512):
+    """Build the canonical stage-1 LM-step workload: the jitted donated
+    step, initialized (params, opt_state) and a synthetic batch.  Shared
+    by bench_stage1_step and scripts/ab_rng_steps.py so the PARITY-cited
+    A/Bs measure exactly the benched workload.
+
+    Chunked CE (models/llama.py causal_lm_loss_chunked) instead of
+    per-layer remat: the dense full-vocab loss (f32 logits (B, 528,
+    128256) ~2.2 GB + d_logits) OOMs without remat, while the chunked
+    loss fits WITHOUT remat and skips the layer recompute — measured
+    359 ms vs 385 ms (remat+dense) vs OOM (no-remat dense) at bs8.
+    """
     import jax
     import jax.numpy as jnp
     from tsue_tpu.models.fusion import MultiModalLLM
@@ -252,11 +258,6 @@ def bench_stage1_step(vocab_size: int, batch_size: int = 8,
 
     import dataclasses
     cfg = _cfg(vocab_size, batch_size, 18, 18, text_len, "bfloat16")
-    # chunked CE (models/llama.py causal_lm_loss_chunked) instead of
-    # per-layer remat: the dense full-vocab loss (f32 logits (B, 528,
-    # 128256) ~2.2 GB + d_logits) OOMs without remat, while the chunked
-    # loss fits WITHOUT remat and skips the layer recompute — measured
-    # 359 ms vs 385 ms (remat+dense) vs OOM (no-remat dense) at bs8
     llama = dataclasses.replace(cfg.model.llama, loss_chunk=128)
     mllm = MultiModalLLM(llama, cfg.model.qformer, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
@@ -282,6 +283,19 @@ def bench_stage1_step(vocab_size: int, batch_size: int = 8,
     tx = make_stage1_optimizer(cfg, params)
     opt_state = tx.init(params)
     step = jax.jit(make_stage1_train_step(mllm, tx), donate_argnums=(0, 1))
+    return step, params, opt_state, batch
+
+
+def bench_stage1_step(vocab_size: int, batch_size: int = 8,
+                      text_len: int = 512, iters: int = 3):
+    """Stage-1 MLLM LM fine-tune step latency, ms (fwd+bwd+update of the
+    causal-LM loss over the fused [img || text] sequence at the full
+    vocab).  The production path: train/stage1.py make_stage1_train_step
+    (LoRA + Q-Former + modality embeddings trainable, base Llama frozen).
+    Ref flow: the training side of scripts/check_generation.py."""
+    import jax
+    step, params, opt_state, batch = stage1_step_setup(
+        vocab_size, batch_size, text_len)
     k = jax.random.key(0)
     params, opt_state, m = step(params, opt_state, batch, k)
     float(m["lm_loss"])  # warmup + compile

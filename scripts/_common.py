@@ -53,7 +53,7 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
                    help="checkpoint policy under remat (implies --remat): "
                         "full = recompute everything (minimum memory), "
                         "dots = save matmul outputs and recompute only "
-                        "elementwise ops (measured -11%% on the 1.31B "
+                        "elementwise ops (measured -10.7%% on the 1.31B "
                         "joint step, ~0.4 GB/layer of activation memory)")
     return p
 
@@ -97,12 +97,6 @@ def apply_overrides(cfg, args):
     if getattr(args, "rng_impl", None):
         tr = dataclasses.replace(tr, rng_impl=args.rng_impl)
     cfg = dataclasses.replace(cfg, train=tr)
-    if getattr(args, "remat", False) or getattr(args, "remat_policy", None):
-        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
-            cfg.model, llama=dataclasses.replace(
-                cfg.model.llama, remat=True,
-                remat_policy=(args.remat_policy or
-                              cfg.model.llama.remat_policy))))
     if getattr(args, "tiny", False):
         from tsue_tpu.config import (LlamaConfig, LaneEncoderConfig,
                                      LTSFConfig, ModelConfig, QFormerConfig)
@@ -115,6 +109,13 @@ def apply_overrides(cfg, args):
             ltsf=LTSFConfig(d_model=16, polygon_embed_dim=16)))
         cfg = dataclasses.replace(cfg, data=dataclasses.replace(
             cfg.data, max_length=640))
+    # after --tiny so the flags survive the tiny LlamaConfig swap
+    if getattr(args, "remat", False) or getattr(args, "remat_policy", None):
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, llama=dataclasses.replace(
+                cfg.model.llama, remat=True,
+                remat_policy=(args.remat_policy or
+                              cfg.model.llama.remat_policy))))
     return cfg
 
 

@@ -3,17 +3,19 @@ the joint stage-2 train step (1.31B dims, bs16, 18->30, rbg keys).
 
 "dots" (LlamaConfig.remat_policy) saves every matmul output inside the
 checkpointed layer so the backward skips the MXU recompute, at roughly
-0.4 GB/layer of activation memory.  The question is whether that trade
+0.4 GB/layer of activation memory.  The question was whether that trade
 fits one v5e chip's HBM next to the joint regime's AdamW state and, if
-so, what it buys.  One state (params + moments, donated through both
-executables); the policy only changes the apply_fn closure, never the
-math.  Ref workload: scripts/im_kim_train_GRN.py:976-1008 (joint).
+so, what it buys.  Measured (v5e, 2026-08-17): full 634.5 ms -> dots
+566.9 ms (-10.7%); both fit.  One state (params + moments, donated
+through both executables); the policy only changes the apply_fn closure,
+never the math.  Ref workload: scripts/im_kim_train_GRN.py:976-1008.
 """
 import dataclasses
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 POLICIES = ("full", "dots")
 
@@ -23,6 +25,7 @@ def main():
     from tsue_tpu.utils.jax_cache import configure
     configure(jax, min_secs=5.0)
     from bench import REAL_VOCAB, build
+    from ab_rng_steps import timed_windows
     from tsue_tpu.models.tsue import TrajectoryModel
     from tsue_tpu.train.trainer import (TrainState, make_optimizer,
                                         make_train_step)
@@ -55,12 +58,11 @@ def main():
         apply_fns[policy] = apply_fn
         steps[policy] = jax.jit(make_train_step(jcfg), donate_argnums=0)
 
-    jcfg0 = joint_cfg("full")
-    tx = make_optimizer(jcfg0, tparams)
+    tx = make_optimizer(joint_cfg("full"), tparams)
     holder = {"state": TrainState.create(apply_fns["full"], tparams, tx)}
     k = jax.random.key(0, impl="rbg")
 
-    def run(policy):
+    def run_policy(policy):
         st = holder["state"].replace(apply_fn=apply_fns[policy])
         st, m = steps[policy](st, tbatch, k)
         holder["state"] = st
@@ -70,26 +72,23 @@ def main():
     for policy in POLICIES:
         t0 = time.perf_counter()
         try:
-            run(policy)
+            run_policy(policy)
             ok.append(policy)
             print(f"{policy} compile+1step: {time.perf_counter()-t0:.1f} s",
                   flush=True)
         except Exception as e:
+            # donate_argnums=0 means a failure AFTER donation leaves the
+            # shared state deleted — nothing else can be measured then
             print(f"{policy}: FAILED {type(e).__name__}: "
                   f"{str(e)[:300]}", flush=True)
+            if any(x.is_deleted() for x in jax.tree.leaves(
+                    holder["state"].params)):
+                print("shared state was donated before the failure; "
+                      "aborting (re-run with POLICIES reduced)", flush=True)
+                return
 
-    results = {}
-    for w in range(3):
-        for policy in ok:
-            run(policy)  # re-warm after switching executables
-            t0 = time.perf_counter()
-            n = 4
-            for _ in range(n):
-                run(policy)
-            dt = (time.perf_counter() - t0) / n * 1000
-            print(f"  w{w} {policy}: {dt:.1f} ms", flush=True)
-            results[policy] = min(results.get(policy, 1e18), dt)
-    print("RESULT", {f"joint_{p}_ms": round(v, 1)
+    results = timed_windows([(p, (lambda p=p: run_policy(p))) for p in ok])
+    print("RESULT", {f"joint_{p}_ms": round(v * 1000, 1)
                      for p, v in results.items()}, flush=True)
 
 

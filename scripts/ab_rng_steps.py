@@ -5,17 +5,18 @@ windows per CLAUDE.md measurement rules).
 Context: `TrainConfig.rng_impl="rbg"` measured -11% on the frozen-MLLM
 stage-2 step (threefry mask generation for the trainable-path dropout is
 VPU-heavy).  This script answers whether the same knob pays on the other
-two train regimes so PARITY.md can state it per-workload.
+two train regimes so PARITY.md can state it per-workload.  Measured
+(v5e, 2026-08-17): joint 667.4 -> 632.9 ms (-5.2%), stage-1 362.6 ->
+345.4 ms (-4.7%).
 Ref workloads: scripts/check_generation.py (stage-1 train side),
 scripts/im_kim_train_GRN.py:976-1008 (joint regime).
 """
 import dataclasses
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
-
-import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timed_windows(step_fns, n=4, windows=3):
@@ -36,22 +37,21 @@ def timed_windows(step_fns, n=4, windows=3):
 
 def main():
     import jax
-    import jax.numpy as jnp
     from tsue_tpu.utils.jax_cache import configure
     configure(jax, min_secs=5.0)
-    import bench
-    from bench import REAL_VOCAB, build
+    from bench import REAL_VOCAB, build, stage1_step_setup
 
     print(f"device: {jax.devices()[0]}", flush=True)
+    keys = {"threefry": jax.random.key(0),
+            "rbg": jax.random.key(0, impl="rbg")}
 
     # ---- joint stage-2 step (bs16, 18->30, remat) ----------------------
     from tsue_tpu.models.tsue import TrajectoryModel
     from tsue_tpu.train.trainer import (TrainState, make_optimizer,
                                         make_train_step)
-    tcfg, tmodel, tparams, tbatch = build(REAL_VOCAB, batch_size=16,
-                                          seq_len=18, out_len=30,
-                                          text_len=512,
-                                          dtype_str="bfloat16")
+    tcfg, _, tparams, tbatch = build(REAL_VOCAB, batch_size=16, seq_len=18,
+                                     out_len=30, text_len=512,
+                                     dtype_str="bfloat16")
     jcfg = dataclasses.replace(
         tcfg,
         model=dataclasses.replace(
@@ -66,8 +66,6 @@ def main():
     tx = make_optimizer(jcfg, tparams)
     state = TrainState.create(apply_fn, tparams, tx)
     step = jax.jit(make_train_step(jcfg), donate_argnums=0)
-    keys = {"threefry": jax.random.key(0),
-            "rbg": jax.random.key(0, impl="rbg")}
     holder = {"state": state}
 
     def run(k):
@@ -86,31 +84,8 @@ def main():
     del holder, state, tparams, tbatch
 
     # ---- stage-1 LM step (bs8, text 512, chunked CE) -------------------
-    from tsue_tpu.models.fusion import MultiModalLLM
-    from tsue_tpu.train.stage1 import (make_stage1_optimizer,
-                                       make_stage1_train_step)
-    cfg = bench._cfg(REAL_VOCAB, 8, 18, 18, 512, "bfloat16")
-    llama = dataclasses.replace(cfg.model.llama, loss_chunk=128)
-    mllm = MultiModalLLM(llama, cfg.model.qformer, dtype=jnp.bfloat16)
-    rng = np.random.default_rng(0)
-    batch = {
-        "vision": jnp.asarray(rng.standard_normal((8, 18, 512)),
-                              jnp.float32),
-        "input_ids": jnp.asarray(
-            rng.integers(3, 50000, (8, 512)), jnp.int32),
-        "attention_mask": jnp.ones((8, 512), jnp.int32),
-        "labels": jnp.asarray(rng.integers(3, 50000, (8, 512)), jnp.int32),
-    }
-    variables = jax.jit(lambda b: mllm.init(
-        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
-        b["vision"], b["input_ids"], b["attention_mask"]))(batch)
-    params = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-        variables["params"])
-    del variables  # the fp32 init tree must not stay pinned
-    tx1 = make_stage1_optimizer(cfg, params)
-    opt_state = tx1.init(params)
-    s1 = jax.jit(make_stage1_train_step(mllm, tx1), donate_argnums=(0, 1))
+    # exactly the benched workload: bench.stage1_step_setup is shared
+    s1, params, opt_state, batch = stage1_step_setup(REAL_VOCAB)
     h1 = {"p": params, "o": opt_state}
 
     def run1(k):
