@@ -441,7 +441,10 @@ def main():
     # decode streams the full bf16 weight set every step, so larger
     # batches amortize the weight reads; utilization = measured
     # bytes/s / 820 GB/s v5e HBM spec (see bench_decode docstring)
-    sweep = (16, 32, 64)
+    # knee at ~bs128: bs256 measured only +10%/+5% (bf16/int8) over
+    # bs128 — beyond the weight-stream amortization the B-proportional
+    # V-wide sampler work dominates (decode-step profile, PARITY.md)
+    sweep = (16, 32, 64, 128)
     decode = bench_decode(REAL_VOCAB, batch_sizes=sweep, int8=True)
     real_tok, real_util = decode["base"]
     i8_tok, i8_util = decode["int8"]
