@@ -310,12 +310,15 @@ def bench_stage1_step(vocab_size: int, batch_size: int = 8,
 
 
 def bench_train_step(cfg, model, params, batch, iters: int = 5,
-                     rng_impl: str = "threefry2x32"):
+                     rng_impl: str = "threefry2x32",
+                     copy_params: bool = True):
     """One stage-2 training step (fwd+bwd+update) latency, ms.
 
     Matches the production runner: donated state (runner.py jits with
     donate_argnums=0).  ``params`` is copied first so the caller's tree
-    survives the donation.
+    survives the donation; the LAST measurement on a tree can pass
+    ``copy_params=False`` to donate the caller's buffers instead (the
+    joint+dots variant needs the ~2.6 GB back for its saved activations).
     """
     import jax
     import jax.numpy as jnp
@@ -325,7 +328,7 @@ def bench_train_step(cfg, model, params, batch, iters: int = 5,
     def apply_fn(vs, b, det, rngs=None, **kw):
         return model.apply(vs, b, det, rngs=rngs, **kw)
 
-    own = jax.tree.map(jnp.copy, params)
+    own = jax.tree.map(jnp.copy, params) if copy_params else params
     tx = make_optimizer(cfg, own)
     state = TrainState.create(apply_fn, own, tx)
     step = jax.jit(make_train_step(cfg), donate_argnums=0)
@@ -423,8 +426,10 @@ def main():
             jcfg.model, llama=dataclasses.replace(jcfg.model.llama,
                                                   remat_policy="dots")))
     jomodel = TrajectoryModel(jocfg.model, 18, 30)
+    # last consumer of tparams: donate instead of copying so the saved
+    # dot activations fit beside the AdamW state (as in the A/B run)
     joint_opt_ms = bench_train_step(jocfg, jomodel, tparams, tbatch,
-                                    rng_impl="rbg")
+                                    rng_impl="rbg", copy_params=False)
     log(f"train step joint (dots+rbg): {joint_opt_ms:.0f} ms")
     detail["train_step_frozen_mllm_ms_bs16"] = round(frozen_ms, 1)
     detail["train_step_frozen_mllm_ms_bs16_rbg"] = round(frozen_rbg_ms, 1)
