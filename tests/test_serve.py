@@ -123,3 +123,42 @@ def test_warmup_prevents_retrace(predictor):
     tracks = make_synthetic_tracks(num_tracks=2, track_len=300, seed=10)
     predictor.predict(tracks)
     assert predictor._predict._cache_size() == 1
+
+
+def test_continuous_batcher_from_predictor():
+    """Predictor.continuous_batcher serves requests built from raw tracks
+    through the slot pool (incl. the int8 quant tables when enabled)."""
+    import dataclasses
+    from tsue_tpu.config import LlamaConfig, QFormerConfig
+    from tsue_tpu.data.tokenizer import ByteTokenizer
+    from tsue_tpu.data.text_dataset import build_track_text_dataset
+    from tsue_tpu.eval.generation import prompt_only
+    tok = ByteTokenizer()
+    cfg = dataclasses.replace(
+        CFG,
+        data=DataConfig(seq_len=6, out_len=6, max_length=640),
+        model=ModelConfig(
+            llama=LlamaConfig.tiny(tok.vocab_size),
+            qformer=QFormerConfig(num_encoder_layers=1, num_decoder_layers=1,
+                                  num_query_tokens=4),
+            lane=LaneEncoderConfig(d_model=16, nhead=2, num_layers=1),
+            ltsf=LTSFConfig(d_model=16, polygon_embed_dim=16)))
+    model = TrajectoryModel(cfg.model, 6, 6)
+    dummy = Predictor(cfg, None, batch_size=2)._dummy_batch()
+    vs = model.init({"params": jax.random.key(0),
+                     "dropout": jax.random.key(1)}, dummy, False)
+    p = Predictor(cfg, vs["params"], batch_size=2, quantize_decode=True)
+    tracks = make_synthetic_tracks(num_tracks=3, track_len=300, seed=9)
+    ds = build_track_text_dataset(tracks, cfg.data, p.tokenizer)
+    ids, mask = prompt_only(
+        {"input_ids": ds.input_ids, "attention_mask": ds.attention_mask,
+         "labels": ds.labels})
+    reqs = [{"vision": np.asarray(ds.vision[i]), "prompt_ids": ids[i],
+             "prompt_mask": mask[i], "max_new": 3 + i}
+            for i in range(len(ds))]
+    batcher = p.continuous_batcher(num_slots=2, prompt_len=ids.shape[1],
+                                   max_new_tokens=6, chunk=2)
+    out = batcher.run(reqs)
+    assert len(out) == len(reqs)
+    assert all(len(row) <= 3 + i for i, row in enumerate(out))
+    assert p._quant is not None  # quant tables threaded into the batcher

@@ -1,0 +1,187 @@
+"""Continuous batching (serve_batching.py) contracts.
+
+The load-bearing property: with per-request PRNG keys, a request's
+generated tokens are IDENTICAL whether it runs alone (single-request
+reference decode below) or through the slot pool with arbitrary
+co-batched traffic, admission order, and chunking — slots are perfectly
+isolated.  Plus the vector-step decode path (models/fusion.py
+decode_step with (B,) step_index) must match the scalar path bitwise
+when all rows share the same step.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tsue_tpu.config import LlamaConfig, QFormerConfig
+from tsue_tpu.models.fusion import MultiModalLLM
+from tsue_tpu.ops.sampling import SamplingConfig, process_and_sample_per_row
+from tsue_tpu.serve_batching import ContinuousBatcher
+
+VOCAB = 64
+EOS = VOCAB - 1
+PROMPT_LEN = 6
+T_VIS = 4
+
+
+@pytest.fixture(scope="module")
+def mllm_and_vars():
+    llama = dataclasses.replace(LlamaConfig.tiny(VOCAB), lora_dropout=0.0)
+    qf = QFormerConfig(hidden_size=32, num_heads=2, num_encoder_layers=1,
+                       num_decoder_layers=1, num_query_tokens=4,
+                       dropout=0.0)
+    mllm = MultiModalLLM(llama, qf)
+    rng = np.random.default_rng(0)
+    vision = jnp.asarray(rng.standard_normal((1, T_VIS, 512)), jnp.float32)
+    ids = jnp.asarray(rng.integers(3, VOCAB - 1, (1, PROMPT_LEN)), jnp.int32)
+    mask = jnp.ones((1, PROMPT_LEN), jnp.int32)
+    variables = mllm.init({"params": jax.random.key(0)}, vision, ids, mask,
+                          True)
+    return mllm, variables
+
+
+def _requests(n, seed=7):
+    """n requests with varied prompts/vision/keys/max_new."""
+    rng = np.random.default_rng(seed)
+    reqs = []
+    for i in range(n):
+        plen = int(rng.integers(2, PROMPT_LEN + 1))
+        ids = np.zeros(PROMPT_LEN, np.int32)
+        ids[:plen] = rng.integers(3, VOCAB - 1, plen)
+        mask = np.zeros(PROMPT_LEN, np.int32)
+        mask[:plen] = 1
+        reqs.append({
+            "vision": rng.standard_normal((T_VIS, 512)).astype(np.float32),
+            "prompt_ids": ids, "prompt_mask": mask,
+            "rng": jax.random.key(1000 + i),
+            "max_new": int(rng.integers(2, 9)),
+        })
+    return reqs
+
+
+def _reference_decode(mllm, variables, req, sampling, max_new_tokens,
+                      pad_id=0):
+    """Single-request decode with the batcher's exact key discipline:
+    per-row keys advanced via vmap(split) once per step."""
+    n_img = mllm.qformer.num_query_tokens
+    P = n_img + PROMPT_LEN
+    cache_len = P + max_new_tokens
+    vision = jnp.asarray(req["vision"])[None]
+    ids = jnp.asarray(req["prompt_ids"], jnp.int32)[None]
+    mask = jnp.asarray(req["prompt_mask"], jnp.int32)[None]
+    caches, last_hidden, plen, fmask = mllm.apply(
+        variables, vision, ids, mask, cache_len, method=mllm.prefill)
+    logits = mllm.apply(
+        variables, last_hidden,
+        method=lambda m, h: m.llama_mod.logits_from_hidden(h)
+    ).astype(jnp.float32)
+    history = jnp.concatenate(
+        [ids, jnp.full((1, max_new_tokens), pad_id, jnp.int32)], axis=1)
+    hlen = mask.sum(axis=1).astype(jnp.int32)
+    keys = req["rng"][None]
+    step = jnp.zeros((1,), jnp.int32)
+    toks = []
+    for _ in range(req["max_new"]):
+        split = jax.vmap(jax.random.split)(keys)
+        tok = process_and_sample_per_row(logits, split[:, 0], history,
+                                         hlen, sampling).astype(jnp.int32)
+        toks.append(int(tok[0]))
+        if toks[-1] == EOS:
+            break
+        history = history.at[jnp.arange(1), hlen].set(tok)
+        hlen = hlen + 1
+        logits, caches = mllm.apply(
+            variables, tok, step, plen, caches, fmask, cache_len,
+            method=mllm.decode_step)
+        logits = logits.astype(jnp.float32)
+        keys = split[:, 1]
+        step = step + 1
+    if toks and toks[-1] == EOS:
+        toks = toks[:-1]
+    return np.asarray(toks, np.int32)
+
+
+def test_batcher_matches_single_request_reference(mllm_and_vars):
+    mllm, variables = mllm_and_vars
+    sampling = SamplingConfig(temperature=1.0, top_k=8, top_p=0.9,
+                              repetition_penalty=1.2,
+                              no_repeat_ngram_size=3)
+    reqs = _requests(5)
+    batcher = ContinuousBatcher(mllm, variables, sampling, num_slots=2,
+                                prompt_len=PROMPT_LEN, max_new_tokens=8,
+                                eos_id=EOS, chunk=3)
+    got = batcher.run(reqs)
+    assert len(got) == len(reqs)
+    for i, req in enumerate(reqs):
+        ref = _reference_decode(mllm, variables, req, sampling, 8)
+        np.testing.assert_array_equal(
+            got[i], ref,
+            err_msg=f"request {i} diverged from its solo decode")
+
+
+def test_batcher_insensitive_to_pool_geometry(mllm_and_vars):
+    """Same requests through a different pool size + chunking must yield
+    identical tokens (per-request keys decouple them from scheduling)."""
+    mllm, variables = mllm_and_vars
+    sampling = SamplingConfig(temperature=1.0, top_k=8, top_p=0.9,
+                              repetition_penalty=1.2,
+                              no_repeat_ngram_size=3)
+    reqs = _requests(4, seed=11)
+    a = ContinuousBatcher(mllm, variables, sampling, num_slots=1,
+                          prompt_len=PROMPT_LEN, max_new_tokens=8,
+                          eos_id=EOS, chunk=8).run(reqs)
+    b = ContinuousBatcher(mllm, variables, sampling, num_slots=4,
+                          prompt_len=PROMPT_LEN, max_new_tokens=8,
+                          eos_id=EOS, chunk=2).run(list(reversed(reqs)))
+    for i in range(len(reqs)):
+        np.testing.assert_array_equal(a[i], b[len(reqs) - 1 - i])
+
+
+def test_vector_decode_step_matches_scalar(mllm_and_vars):
+    """decode_step with (B,) step_index == scalar step_index when all
+    rows share the step (the scatter and DUS cache writes must agree)."""
+    mllm, variables = mllm_and_vars
+    rng = np.random.default_rng(3)
+    B = 3
+    vision = jnp.asarray(rng.standard_normal((B, T_VIS, 512)), jnp.float32)
+    ids = jnp.asarray(rng.integers(3, VOCAB - 1, (B, PROMPT_LEN)), jnp.int32)
+    mask = jnp.ones((B, PROMPT_LEN), jnp.int32)
+    n_img = mllm.qformer.num_query_tokens
+    cache_len = n_img + PROMPT_LEN + 4
+    caches, _, plen, fmask = mllm.apply(
+        variables, vision, ids, mask, cache_len, method=mllm.prefill)
+    tok = jnp.asarray(rng.integers(3, VOCAB - 1, (B,)), jnp.int32)
+    for step in range(3):
+        lo_s, c_s = mllm.apply(variables, tok, jnp.int32(step), plen,
+                               caches, fmask, cache_len,
+                               method=mllm.decode_step)
+        lo_v, c_v = mllm.apply(variables, tok,
+                               jnp.full((B,), step, jnp.int32), plen,
+                               caches, fmask, cache_len,
+                               method=mllm.decode_step)
+        np.testing.assert_array_equal(np.asarray(lo_s), np.asarray(lo_v))
+        for (ks, vs), (kv, vv) in zip(c_s, c_v):
+            np.testing.assert_array_equal(np.asarray(ks), np.asarray(kv))
+            np.testing.assert_array_equal(np.asarray(vs), np.asarray(vv))
+        caches = c_s
+
+
+def test_per_row_sampler_matches_batched_on_single_rows(mllm_and_vars):
+    """process_and_sample_per_row row i == process_and_sample on the
+    1-row slice with the same key (it IS the vmapped chain)."""
+    from tsue_tpu.ops.sampling import process_and_sample
+    rng = np.random.default_rng(5)
+    B, L = 4, 10
+    logits = jnp.asarray(rng.standard_normal((B, VOCAB)), jnp.float32)
+    hist = jnp.asarray(rng.integers(3, VOCAB - 1, (B, L)), jnp.int32)
+    hlen = jnp.asarray(rng.integers(1, L, (B,)), jnp.int32)
+    keys = jax.random.split(jax.random.key(9), B)
+    cfg = SamplingConfig(temperature=0.9, top_k=8, top_p=0.9,
+                         repetition_penalty=1.2, no_repeat_ngram_size=3)
+    batched = process_and_sample_per_row(logits, keys, hist, hlen, cfg)
+    for i in range(B):
+        solo = process_and_sample(logits[i][None], keys[i],
+                                  hist[i][None], hlen[i][None], cfg)
+        assert int(batched[i]) == int(solo[0])

@@ -125,22 +125,24 @@ class MultiModalLLM(nn.Module):
                     cache_len: int, deterministic=True):
         """One cached decode step.
 
-        token (B,) int32; step_index scalar int32 (0-based decode step);
-        prefix_len (B,) valid prefix lengths.  Generated tokens use the raw
-        embedding WITHOUT the text modality embedding — matching the
-        reference's patched-embedding behavior for new tokens
-        (ref scripts/train.py:612-619).
+        token (B,) int32; step_index scalar int32 (0-based decode step) OR
+        (B,) int32 per-row steps (continuous batching: every slot advances
+        on its own clock, serve_batching.py); prefix_len (B,) valid prefix
+        lengths.  Generated tokens use the raw embedding WITHOUT the text
+        modality embedding — matching the reference's patched-embedding
+        behavior for new tokens (ref scripts/train.py:612-619).
         Returns (logits (B, V), new_caches).
         """
         B = token.shape[0]
         P = fused_mask.shape[1]
         emb = self.llama_mod.embed(token[:, None])       # (B, 1, D)
         pos = (prefix_len + step_index)[:, None]         # (B, 1)
-        slot = P + step_index                            # cache write index
+        slot = P + step_index                # cache write index, scalar|(B,)
         k_idx = jnp.arange(cache_len)[None, :]
         fmask_cache = jnp.pad(fused_mask, ((0, 0), (0, cache_len - P)))
+        upper = slot[:, None] if getattr(slot, "ndim", 0) == 1 else slot
         kv_mask = ((k_idx < P) & (fmask_cache > 0)) | \
-                  ((k_idx >= P) & (k_idx <= slot))       # (B, cache_len)
+                  ((k_idx >= P) & (k_idx <= upper))      # (B, cache_len)
         hidden, caches = self.llama_mod.model(
             emb, None, pos, deterministic, caches, slot, kv_mask)
         logits = self.llama_mod.logits_from_hidden(hidden[:, 0])

@@ -190,8 +190,17 @@ class LlamaAttention(nn.Module):
             q = apply_rope(q, positions, inv_freq)
             k = apply_rope(k, positions, inv_freq)
             ck, cv = kv_cache
-            ck = jax.lax.dynamic_update_slice(ck, k, (0, cache_index, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v, (0, cache_index, 0, 0))
+            if getattr(cache_index, "ndim", 0) == 1:
+                # per-row write slots (continuous batching, serve_batching):
+                # every row of the T=1 step lands at its own cache offset
+                rows = jnp.arange(B)
+                ck = ck.at[rows, cache_index].set(k[:, 0])
+                cv = cv.at[rows, cache_index].set(v[:, 0])
+            else:
+                ck = jax.lax.dynamic_update_slice(ck, k,
+                                                  (0, cache_index, 0, 0))
+                cv = jax.lax.dynamic_update_slice(cv, v,
+                                                  (0, cache_index, 0, 0))
             k, v = ck, cv
             kv_cache = (ck, cv)
             is_causal = False  # mask supplied explicitly by caller

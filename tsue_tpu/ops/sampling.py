@@ -184,6 +184,25 @@ def process_and_sample(logits: jnp.ndarray, rng: jax.Array,
     return jax.random.categorical(rng, logits, axis=-1)
 
 
+def process_and_sample_per_row(logits: jnp.ndarray, keys: jax.Array,
+                               token_history: jnp.ndarray,
+                               history_len: jnp.ndarray,
+                               cfg: SamplingConfig) -> jnp.ndarray:
+    """``process_and_sample`` with an independent PRNG key per row.
+
+    The shared-key batched form draws row i's token from a key stream that
+    depends on the batch layout, so a request's output changes with its
+    batch position.  Serving needs the opposite: with per-request keys a
+    request's generated tokens are REPRODUCIBLE regardless of which slot
+    it lands in or what shares the batch (continuous batching,
+    serve_batching.py — pinned by tests/test_serve_batching.py).  vmap
+    over rows of the exact batched chain keeps the semantics identical.
+    """
+    fn = lambda l, k, h, n: process_and_sample(
+        l[None], k, h[None], n[None], cfg)[0]
+    return jax.vmap(fn)(logits, keys, token_history, history_len)
+
+
 _TIE_LANES = 128
 
 

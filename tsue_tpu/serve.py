@@ -139,6 +139,37 @@ class Predictor:
         return [{"track_id": int(t), "context": txt}
                 for t, txt in zip(ds.track_id, texts)]
 
+    def continuous_batcher(self, num_slots: int = 16,
+                           prompt_len: Optional[int] = None,
+                           max_new_tokens: int = 64, chunk: int = 8,
+                           sampling=None):
+        """Build a ContinuousBatcher over this predictor's MLLM (and its
+        int8 quant tables when ``quantize_decode``): slot-pool scheduling
+        for variable-length generation workloads — see serve_batching.py.
+        """
+        assert self.cfg.model.use_llm, "use_llm=False predictor"
+        from tsue_tpu.models.fusion import MultiModalLLM
+        from tsue_tpu.ops.sampling import SamplingConfig
+        from tsue_tpu.serve_batching import ContinuousBatcher
+        mllm = MultiModalLLM(llama=self.cfg.model.llama,
+                             qformer=self.cfg.model.qformer,
+                             use_vision=self.cfg.model.use_vision)
+        variables = {"params": self.params["mllm"]}
+        if self.quantize_decode:
+            if self._quant is None:
+                from tsue_tpu.ops.quant import quantize_llama_params
+                self._quant = jax.jit(quantize_llama_params)(
+                    self.params["mllm"])
+            variables["quant"] = self._quant
+        return ContinuousBatcher(
+            mllm, variables, sampling or SamplingConfig(),
+            num_slots=num_slots,
+            prompt_len=(prompt_len if prompt_len is not None
+                        else self.cfg.data.max_length),
+            max_new_tokens=max_new_tokens,
+            eos_id=self.tokenizer.eos_id, pad_id=self.tokenizer.pad_id,
+            chunk=chunk)
+
     def predict(self, tracks: Sequence[dict],
                 rng: Optional[jax.Array] = None) -> List[Dict]:
         """Raw track dicts in (all_data.pkl schema) -> per-window pixel
