@@ -137,18 +137,15 @@ def baseline_main(name: str, doc: str, default_k: int = 0):
                         synthetic_tracks=args.synthetic_tracks))
 
 
-def build_decode_workload(batch_size: int = 16, prompt_len: int = 144,
-                          vocab: int = 128256, max_new: int = 64):
-    """The canonical decode micro-bench setup shared by ab_decode_attn /
-    profile_ops: real-vocab 1B MLLM in bf16 + a jittable generate fn.
-    Returns (gen, variables, (vision, ids, mask))."""
+def build_mllm_bf16(batch_size: int = 16, prompt_len: int = 144,
+                    vocab: int = 128256):
+    """Real-vocab 1B MLLM in bf16 + synthetic inputs — the shared decode
+    micro-bench substrate.  Returns (mllm, variables, (vision, ids, mask))."""
     import numpy as np
     import jax
     import jax.numpy as jnp
     from tsue_tpu.config import LlamaConfig, QFormerConfig
-    from tsue_tpu.eval.generation import make_generate_fn
     from tsue_tpu.models.fusion import MultiModalLLM
-    from tsue_tpu.ops.sampling import SamplingConfig
 
     mllm = MultiModalLLM(LlamaConfig(vocab_size=vocab), QFormerConfig(),
                          dtype=jnp.bfloat16)
@@ -164,6 +161,18 @@ def build_decode_workload(batch_size: int = 16, prompt_len: int = 144,
     variables = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
         variables)
+    return mllm, variables, (vision, ids, mask)
+
+
+def build_decode_workload(batch_size: int = 16, prompt_len: int = 144,
+                          vocab: int = 128256, max_new: int = 64):
+    """The canonical decode micro-bench setup shared by ab_decode_attn /
+    profile_ops: real-vocab 1B MLLM in bf16 + a jittable generate fn.
+    Returns (gen, variables, (vision, ids, mask))."""
+    from tsue_tpu.eval.generation import make_generate_fn
+    from tsue_tpu.ops.sampling import SamplingConfig
+
+    mllm, variables, data = build_mllm_bf16(batch_size, prompt_len, vocab)
     gen = make_generate_fn(mllm, SamplingConfig(), max_new, prompt_len,
                            eos_id=vocab - 1, pad_id=0)
-    return gen, variables, (vision, ids, mask)
+    return gen, variables, data

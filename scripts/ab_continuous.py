@@ -1,0 +1,101 @@
+"""Interleaved A/B: continuous (slot-refill) vs batch-synchronous
+scheduling for variable-length generation (serve_batching.py).
+
+Both arms run the IDENTICAL jitted programs over the same request set
+with per-request PRNG keys, so they produce byte-identical outputs
+(asserted); the only difference is run(refill=...) — whether a finished
+slot is refilled immediately or the pool drains before re-admitting
+(the static generator's policy).  Output-length variance comes from
+per-request max_new caps drawn uniformly from [min-new, max-new] with a
+fixed seed: with random weights EOS essentially never fires at a 128k
+vocab, so caps are the deterministic stand-in for natural early stops.
+
+    python scripts/ab_continuous.py [--slots 16] [--requests 64]
+
+Prints one JSON line {variant: tok_per_sec, ...}.
+"""
+from _common import base_parser  # noqa: F401  (sys.path setup)
+import argparse
+import json
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--slots", type=int, default=16)
+    p.add_argument("--requests", type=int, default=64)
+    p.add_argument("--prompt-len", type=int, default=144)
+    p.add_argument("--min-new", type=int, default=8)
+    p.add_argument("--max-new", type=int, default=64)
+    p.add_argument("--chunk", type=int, default=8)
+    p.add_argument("--windows", type=int, default=3)
+    p.add_argument("--platform", default=None)
+    args = p.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax
+    import numpy as np
+    from _common import build_mllm_bf16
+    from tsue_tpu.ops.sampling import SamplingConfig
+    from tsue_tpu.serve_batching import ContinuousBatcher
+
+    try:
+        from tsue_tpu.utils.jax_cache import configure
+        configure(jax, min_secs=5.0)
+    except Exception:
+        pass
+    log(f"device: {jax.devices()[0]}")
+
+    mllm, variables, (vision, ids, mask) = build_mllm_bf16(
+        batch_size=args.requests, prompt_len=args.prompt_len)
+    vocab = mllm.llama.vocab_size
+    batcher = ContinuousBatcher(
+        mllm, variables, SamplingConfig(), num_slots=args.slots,
+        prompt_len=args.prompt_len, max_new_tokens=args.max_new,
+        eos_id=vocab - 1, pad_id=0, chunk=args.chunk)
+
+    caps = np.random.default_rng(0).integers(
+        args.min_new, args.max_new + 1, args.requests)
+    base = jax.random.key(7)
+    requests = [{"vision": vision[i], "prompt_ids": ids[i],
+                 "prompt_mask": mask[i], "max_new": int(caps[i]),
+                 "rng": jax.random.fold_in(base, i)}
+                for i in range(args.requests)]
+    total_tok = int(caps.sum())
+    log(f"{args.requests} requests, caps {args.min_new}-{args.max_new} "
+        f"(mean {caps.mean():.1f}), {total_tok} tokens total")
+
+    # warmup: compiles admit buckets / decode chunk / release, and pins
+    # that the two schedules produce identical per-request tokens
+    t0 = time.time()
+    ref = batcher.run(requests, refill=True)
+    log(f"warmup+compile {time.time()-t0:.1f}s")
+    sync = batcher.run(requests, refill=False)
+    assert all(np.array_equal(a, b) for a, b in zip(ref, sync)), \
+        "schedules diverged — per-request keys broken"
+    log("outputs identical across schedules")
+
+    best = {"continuous": float("inf"), "batch_sync": float("inf")}
+    for w in range(args.windows):
+        for name, refill in (("continuous", True), ("batch_sync", False)):
+            t0 = time.time()
+            out = batcher.run(requests, refill=refill)
+            dt = time.time() - t0
+            assert sum(len(o) for o in out) == total_tok
+            best[name] = min(best[name], dt)
+            log(f"  w{w} {name}: {dt:.2f}s ({total_tok/dt:.0f} tok/s)")
+
+    print(json.dumps({n: round(total_tok / t, 1) for n, t in best.items()}
+                     | {"speedup": round(best["batch_sync"] /
+                                         best["continuous"], 3)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -65,10 +65,11 @@ def _reference_decode(mllm, variables, req, sampling, max_new_tokens,
                       pad_id=0):
     """Single-request decode with the batcher's exact key discipline:
     per-row keys advanced via vmap(split) once per step."""
-    n_img = mllm.qformer.num_query_tokens
+    n_img = mllm.qformer.num_query_tokens if mllm.use_vision else 0
     P = n_img + PROMPT_LEN
     cache_len = P + max_new_tokens
-    vision = jnp.asarray(req["vision"])[None]
+    vision = (jnp.asarray(req["vision"])[None]
+              if "vision" in req else None)
     ids = jnp.asarray(req["prompt_ids"], jnp.int32)[None]
     mask = jnp.asarray(req["prompt_mask"], jnp.int32)[None]
     caches, last_hidden, plen, fmask = mllm.apply(
@@ -166,6 +167,50 @@ def test_vector_decode_step_matches_scalar(mllm_and_vars):
             np.testing.assert_array_equal(np.asarray(ks), np.asarray(kv))
             np.testing.assert_array_equal(np.asarray(vs), np.asarray(vv))
         caches = c_s
+
+
+def test_max_new_contract(mllm_and_vars):
+    """Out-of-contract caps fail loudly (a silent overflow would scatter
+    KV past the pool buffers); max_new=0 yields an empty, order-aligned
+    result without occupying a slot."""
+    mllm, variables = mllm_and_vars
+    batcher = ContinuousBatcher(mllm, variables, SamplingConfig(),
+                                num_slots=2, prompt_len=PROMPT_LEN,
+                                max_new_tokens=8, eos_id=EOS)
+    reqs = _requests(3, seed=21)
+    reqs[1] = dict(reqs[1], max_new=9)  # > pool buffer
+    with pytest.raises(ValueError, match="max_new=9"):
+        batcher.run(reqs)
+    with pytest.raises(ValueError, match="max_new=-1"):
+        batcher.run([dict(reqs[0], max_new=-1)])
+    reqs[1] = dict(reqs[1], max_new=0)
+    out = batcher.run(reqs)
+    assert out[1].shape == (0,)
+    solo = batcher.run([reqs[0], reqs[2]])
+    np.testing.assert_array_equal(out[0], solo[0])
+    np.testing.assert_array_equal(out[2], solo[1])
+
+
+def test_text_only_batcher_needs_no_vision(mllm_and_vars):
+    """A use_vision=False batcher must accept requests without a "vision"
+    key and still match its single-request reference decode."""
+    mllm, _ = mllm_and_vars
+    text_mllm = MultiModalLLM(mllm.llama, mllm.qformer, use_vision=False)
+    rng = np.random.default_rng(2)
+    ids = jnp.asarray(rng.integers(3, VOCAB - 1, (1, PROMPT_LEN)), jnp.int32)
+    mask = jnp.ones((1, PROMPT_LEN), jnp.int32)
+    variables = text_mllm.init({"params": jax.random.key(0)}, None, ids,
+                               mask, True)
+    sampling = SamplingConfig(temperature=1.0, top_k=8, top_p=0.9)
+    reqs = [{k: v for k, v in r.items() if k != "vision"}
+            for r in _requests(3, seed=13)]
+    batcher = ContinuousBatcher(text_mllm, variables, sampling,
+                                num_slots=2, prompt_len=PROMPT_LEN,
+                                max_new_tokens=8, eos_id=EOS, chunk=3)
+    got = batcher.run(reqs)
+    for i, req in enumerate(reqs):
+        ref = _reference_decode(text_mllm, variables, req, sampling, 8)
+        np.testing.assert_array_equal(got[i], ref)
 
 
 def test_per_row_sampler_matches_batched_on_single_rows(mllm_and_vars):

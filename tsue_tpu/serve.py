@@ -104,6 +104,24 @@ class Predictor:
             "attention_mask": jnp.ones((B, L), jnp.int32),
         }
 
+    def _mllm_variables(self):
+        """MLLM module + serving variables, quant tables built lazily —
+        shared by the static (generate_context) and continuous
+        (continuous_batcher) serving paths so quant/MLLM plumbing can
+        never skew between them."""
+        from tsue_tpu.models.fusion import MultiModalLLM
+        mllm = MultiModalLLM(llama=self.cfg.model.llama,
+                             qformer=self.cfg.model.qformer,
+                             use_vision=self.cfg.model.use_vision)
+        variables = {"params": self.params["mllm"]}
+        if self.quantize_decode:
+            if self._quant is None:
+                from tsue_tpu.ops.quant import quantize_llama_params
+                self._quant = jax.jit(quantize_llama_params)(
+                    self.params["mllm"])
+            variables["quant"] = self._quant
+        return mllm, variables
+
     def generate_context(self, tracks: Sequence[dict],
                          max_new_tokens: int = 64,
                          rng: Optional[jax.Array] = None) -> List[Dict]:
@@ -119,17 +137,7 @@ class Predictor:
         if len(ds) == 0:
             return []
         rng = rng if rng is not None else jax.random.key(0)
-        from tsue_tpu.models.fusion import MultiModalLLM
-        mllm = MultiModalLLM(llama=self.cfg.model.llama,
-                             qformer=self.cfg.model.qformer,
-                             use_vision=self.cfg.model.use_vision)
-        variables = {"params": self.params["mllm"]}
-        if self.quantize_decode:
-            if self._quant is None:
-                from tsue_tpu.ops.quant import quantize_llama_params
-                self._quant = jax.jit(quantize_llama_params)(
-                    self.params["mllm"])
-            variables["quant"] = self._quant
+        mllm, variables = self._mllm_variables()
         # prompt-only conditioning: mask the answer span out
         prompt_mask = ds.attention_mask * (ds.labels == -100)
         texts = generate_texts(
@@ -148,19 +156,9 @@ class Predictor:
         for variable-length generation workloads — see serve_batching.py.
         """
         assert self.cfg.model.use_llm, "use_llm=False predictor"
-        from tsue_tpu.models.fusion import MultiModalLLM
         from tsue_tpu.ops.sampling import SamplingConfig
         from tsue_tpu.serve_batching import ContinuousBatcher
-        mllm = MultiModalLLM(llama=self.cfg.model.llama,
-                             qformer=self.cfg.model.qformer,
-                             use_vision=self.cfg.model.use_vision)
-        variables = {"params": self.params["mllm"]}
-        if self.quantize_decode:
-            if self._quant is None:
-                from tsue_tpu.ops.quant import quantize_llama_params
-                self._quant = jax.jit(quantize_llama_params)(
-                    self.params["mllm"])
-            variables["quant"] = self._quant
+        mllm, variables = self._mllm_variables()
         return ContinuousBatcher(
             mllm, variables, sampling or SamplingConfig(),
             num_slots=num_slots,

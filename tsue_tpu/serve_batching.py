@@ -194,8 +194,11 @@ class ContinuousBatcher:
         """Decode all ``requests``; returns per-request token arrays
         (EOS-trimmed), order-aligned with the input.
 
-        Each request: {"vision": (T,512), "prompt_ids": (P,) int,
-        "prompt_mask": (P,) int[, "rng": key, "max_new": int]}.  A request
+        Each request: {"prompt_ids": (P,) int, "prompt_mask": (P,) int
+        [, "vision": (T,512), "rng": key, "max_new": int]}.  "vision" is
+        required iff the model uses vision; "max_new" must lie in
+        [0, max_new_tokens] (the pool's buffer size — raises otherwise;
+        0 yields an empty result without occupying a slot).  A request
         with its own "rng" reproduces the same tokens no matter the slot
         or co-batched traffic.
 
@@ -208,10 +211,25 @@ class ContinuousBatcher:
         if not requests:
             return []
         base = rng if rng is not None else jax.random.key(0)
-        queue = deque(enumerate(requests))
+        results: Dict[int, np.ndarray] = {}
+        queue: deque = deque()
+        for rid, req in enumerate(requests):
+            mn = int(req.get("max_new", self.max_new_tokens))
+            if not 0 <= mn <= self.max_new_tokens:
+                # out-of-contract caps would scatter KV past the pool's
+                # fixed cache/output buffers (silently dropped by XLA) —
+                # fail loudly instead
+                raise ValueError(
+                    f"request {rid}: max_new={mn} outside "
+                    f"[0, {self.max_new_tokens}] (the pool's buffer size)")
+            if mn == 0:
+                results[rid] = np.zeros((0,), np.int32)
+            else:
+                queue.append((rid, req))
+        if not queue:
+            return [results[i] for i in range(len(requests))]
         state = self._init_state()
         slot_req: List[Optional[int]] = [None] * self.B
-        results: Dict[int, np.ndarray] = {}
         while queue or any(s is not None for s in slot_req):
             pool_empty = all(s is None for s in slot_req)
             free = ([] if not (refill or pool_empty)
@@ -230,8 +248,8 @@ class ContinuousBatcher:
                     slots.append(s)
                 state = self._admit(
                     state, jnp.asarray(slots, jnp.int32),
-                    jnp.stack([jnp.asarray(r["vision"])
-                               for r, _ in batch]),
+                    (jnp.stack([jnp.asarray(r["vision"]) for r, _ in batch])
+                     if self.mllm.use_vision else None),
                     jnp.stack([jnp.asarray(r["prompt_ids"], jnp.int32)
                                for r, _ in batch]),
                     jnp.stack([jnp.asarray(r["prompt_mask"], jnp.int32)
