@@ -118,6 +118,35 @@ def test_generate_context_quantized_decode():
     assert any(l.dtype == jnp.int8 for l in leaves)
 
 
+def test_generate_context_speculative_matches_greedy():
+    """speculative=True returns exactly the plain greedy decode's text
+    (eval/speculative.py is a scheduling change, not a semantic one)."""
+    import dataclasses
+    from tsue_tpu.config import LlamaConfig, QFormerConfig
+    from tsue_tpu.data.tokenizer import ByteTokenizer
+    from tsue_tpu.ops.sampling import SamplingConfig
+    tok = ByteTokenizer()
+    cfg = dataclasses.replace(
+        CFG,
+        data=DataConfig(seq_len=6, out_len=6, max_length=640),
+        model=ModelConfig(
+            llama=LlamaConfig.tiny(tok.vocab_size),
+            qformer=QFormerConfig(num_encoder_layers=1, num_decoder_layers=1,
+                                  num_query_tokens=4),
+            lane=LaneEncoderConfig(d_model=16, nhead=2, num_layers=1),
+            ltsf=LTSFConfig(d_model=16, polygon_embed_dim=16)))
+    model = TrajectoryModel(cfg.model, 6, 6)
+    dummy = Predictor(cfg, None, batch_size=2)._dummy_batch()
+    vs = model.init({"params": jax.random.key(0),
+                     "dropout": jax.random.key(1)}, dummy, False)
+    p = Predictor(cfg, vs["params"], batch_size=2)
+    tracks = make_synthetic_tracks(num_tracks=2, track_len=300, seed=9)
+    greedy = SamplingConfig(do_sample=False)
+    ref = p.generate_context(tracks, max_new_tokens=6, sampling=greedy)
+    out = p.generate_context(tracks, max_new_tokens=6, speculative=True)
+    assert [r["context"] for r in out] == [r["context"] for r in ref]
+
+
 def test_warmup_prevents_retrace(predictor):
     """predict() must reuse the warmup executable (same pytree keys)."""
     tracks = make_synthetic_tracks(num_tracks=2, track_len=300, seed=10)

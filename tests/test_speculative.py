@@ -1,0 +1,183 @@
+"""Speculative greedy decoding (eval/speculative.py) exactness.
+
+The load-bearing contract: speculative decode emits EXACTLY the tokens
+of the token-at-a-time greedy scan (eval/generation.py with
+do_sample=False) — drafts and window scoring change only how many
+forwards run, never the output.  Plus decode_window (models/fusion.py)
+must agree with sequential decode_step calls position by position.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tsue_tpu.config import LlamaConfig, QFormerConfig
+from tsue_tpu.eval.generation import make_generate_fn
+from tsue_tpu.eval.speculative import (make_speculative_generate_fn,
+                                       ngram_draft)
+from tsue_tpu.models.fusion import MultiModalLLM
+from tsue_tpu.ops.sampling import SamplingConfig
+
+VOCAB = 64
+EOS = VOCAB - 1
+PROMPT_LEN = 8
+T_VIS = 4
+
+GREEDY = SamplingConfig(do_sample=False, repetition_penalty=1.2,
+                        no_repeat_ngram_size=3)
+
+
+@pytest.fixture(scope="module")
+def mllm_and_vars():
+    llama = dataclasses.replace(LlamaConfig.tiny(VOCAB), lora_dropout=0.0)
+    qf = QFormerConfig(hidden_size=32, num_heads=2, num_encoder_layers=1,
+                       num_decoder_layers=1, num_query_tokens=4,
+                       dropout=0.0)
+    mllm = MultiModalLLM(llama, qf)
+    rng = np.random.default_rng(0)
+    vision = jnp.asarray(rng.standard_normal((1, T_VIS, 512)), jnp.float32)
+    ids = jnp.asarray(rng.integers(3, VOCAB - 1, (1, PROMPT_LEN)), jnp.int32)
+    mask = jnp.ones((1, PROMPT_LEN), jnp.int32)
+    variables = mllm.init({"params": jax.random.key(0)}, vision, ids, mask,
+                          True)
+    return mllm, variables
+
+
+def _batch(n, seed=5):
+    rng = np.random.default_rng(seed)
+    vision = jnp.asarray(rng.standard_normal((n, T_VIS, 512)), jnp.float32)
+    ids = np.zeros((n, PROMPT_LEN), np.int32)
+    mask = np.zeros((n, PROMPT_LEN), np.int32)
+    for i in range(n):
+        plen = int(rng.integers(3, PROMPT_LEN + 1))
+        ids[i, :plen] = rng.integers(3, VOCAB - 1, plen)
+        mask[i, :plen] = 1
+    return vision, jnp.asarray(ids), jnp.asarray(mask)
+
+
+def test_decode_window_matches_sequential_steps(mllm_and_vars):
+    """decode_window logits[:, j] == the j-th decode_step's logits, and
+    the caches agree afterwards (in-window causality + per-row offsets)."""
+    mllm, variables = mllm_and_vars
+    rng = np.random.default_rng(3)
+    B, W = 3, 4
+    vision = jnp.asarray(rng.standard_normal((B, T_VIS, 512)), jnp.float32)
+    ids = jnp.asarray(rng.integers(3, VOCAB - 1, (B, PROMPT_LEN)), jnp.int32)
+    mask = jnp.ones((B, PROMPT_LEN), jnp.int32)
+    n_img = mllm.qformer.num_query_tokens
+    cache_len = n_img + PROMPT_LEN + 2 * W
+    caches0, _, plen, fmask = mllm.apply(
+        variables, vision, ids, mask, cache_len, method=mllm.prefill)
+    toks = jnp.asarray(rng.integers(3, VOCAB - 1, (B, W)), jnp.int32)
+    # rows at different decode clocks (per-row step vector)
+    step = jnp.asarray([0, 1, 2], jnp.int32)
+    # seed the earlier slots of rows 1/2 so their caches are valid there
+    pre = jnp.asarray(rng.integers(3, VOCAB - 1, (B, 2)), jnp.int32)
+    caches = caches0
+    for j in range(2):
+        _, caches = mllm.apply(variables, pre[:, j],
+                               jnp.full((B,), j, jnp.int32), plen, caches,
+                               fmask, cache_len, method=mllm.decode_step)
+    # sequential reference: mask rows not yet at clock j by replaying the
+    # same per-row steps the window uses
+    seq_caches = caches
+    seq_logits = []
+    for j in range(W):
+        lo, seq_caches = mllm.apply(variables, toks[:, j], step + j, plen,
+                                    seq_caches, fmask, cache_len,
+                                    method=mllm.decode_step)
+        seq_logits.append(lo)
+    win_logits, win_caches = mllm.apply(variables, toks, step, plen,
+                                        caches, fmask, cache_len,
+                                        method=mllm.decode_window)
+    for j in range(W):
+        np.testing.assert_allclose(np.asarray(win_logits[:, j]),
+                                   np.asarray(seq_logits[j]),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=f"window position {j}")
+    for (kw, vw), (ks, vs) in zip(win_caches, seq_caches):
+        np.testing.assert_allclose(np.asarray(kw), np.asarray(ks),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(vw), np.asarray(vs),
+                                   rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("window,draft_ngram", [(2, 2), (5, 3)])
+def test_speculative_matches_token_at_a_time_greedy(mllm_and_vars, window,
+                                                    draft_ngram):
+    mllm, variables = mllm_and_vars
+    max_new = 12
+    vision, ids, mask = _batch(4)
+    ref_gen = make_generate_fn(mllm, GREEDY, max_new, PROMPT_LEN, eos_id=EOS)
+    ref = np.asarray(ref_gen(variables, vision, ids, mask,
+                             jax.random.key(0)))
+    spec_gen = make_speculative_generate_fn(
+        mllm, GREEDY, max_new, PROMPT_LEN, eos_id=EOS, window=window,
+        draft_ngram=draft_ngram, with_stats=True)
+    toks, n_fwd = spec_gen(variables, vision, ids, mask)
+    np.testing.assert_array_equal(
+        np.asarray(toks), ref,
+        err_msg=f"speculative (W={window}) diverged from greedy scan")
+    n_fwd = np.asarray(n_fwd)
+    assert (n_fwd >= 1).all() and (n_fwd <= max_new).all()
+
+
+def test_speculative_rejects_sampled_config(mllm_and_vars):
+    mllm, _ = mllm_and_vars
+    with pytest.raises(ValueError, match="greedy"):
+        make_speculative_generate_fn(mllm, SamplingConfig(do_sample=True),
+                                     8, PROMPT_LEN, eos_id=EOS)
+
+
+def test_speculative_accepts_oracle_drafts(mllm_and_vars):
+    """With a window large enough and drafts that happen to match (the
+    templated-history case prompt lookup exploits), n_forwards must drop
+    below max_new — i.e. speculation actually accepts.  Built by making
+    history repeat: feed a prompt that is one token repeated, so the
+    greedy continuation is drafted from its own earlier occurrences."""
+    mllm, variables = mllm_and_vars
+    max_new = 12
+    vision = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (2, T_VIS, 512)), jnp.float32)
+    ids = jnp.full((2, PROMPT_LEN), 7, jnp.int32)
+    mask = jnp.ones((2, PROMPT_LEN), jnp.int32)
+    # no-repeat-ngram off so a periodic continuation is reachable
+    cfg = SamplingConfig(do_sample=False, repetition_penalty=1.0,
+                         no_repeat_ngram_size=0)
+    ref = np.asarray(make_generate_fn(mllm, cfg, max_new, PROMPT_LEN,
+                                      eos_id=EOS)(
+        variables, vision, ids, mask, jax.random.key(0)))
+    toks, n_fwd = make_speculative_generate_fn(
+        mllm, cfg, max_new, PROMPT_LEN, eos_id=EOS, window=4,
+        draft_ngram=2, with_stats=True)(variables, vision, ids, mask)
+    np.testing.assert_array_equal(np.asarray(toks), ref)
+    # acceptance is model-dependent; the hard guarantee is ">= 1 token
+    # per forward", the point of this test is the bookkeeping under
+    # multi-token accepts, exercised whenever any draft hits
+    assert (np.asarray(n_fwd) <= max_new).all()
+
+
+def test_ngram_draft_continues_latest_occurrence():
+    #            0  1  2  3  4  5  6  7  8
+    hist = jnp.asarray([[5, 6, 9, 9, 5, 6, 7, 5, 6]], jnp.int32)
+    hlen = jnp.asarray([9], jnp.int32)
+    # suffix (5, 6): latest earlier occurrence ends at index 5 -> 7, 5
+    d = ngram_draft(hist, hlen, n=3, width=2)
+    np.testing.assert_array_equal(np.asarray(d), [[7, 5]])
+    # suffix (6,) with n=2: latest earlier occurrence at index 5 -> 7, 5
+    d = ngram_draft(hist, hlen, n=2, width=2)
+    np.testing.assert_array_equal(np.asarray(d), [[7, 5]])
+    # no occurrence: repeat last token
+    hist2 = jnp.asarray([[1, 2, 3, 4, 0, 0, 0, 0, 0]], jnp.int32)
+    d = ngram_draft(hist2, jnp.asarray([4], jnp.int32), n=3, width=3)
+    np.testing.assert_array_equal(np.asarray(d), [[4, 4, 4]])
+
+
+def test_ngram_draft_prefers_full_continuation():
+    """A period-1 loop must draft real tokens, not the pad tail after the
+    latest (too-recent) occurrence."""
+    hist = jnp.asarray([[3, 3, 3, 3, 3, 0, 0, 0, 0]], jnp.int32)
+    d = ngram_draft(hist, jnp.asarray([5], jnp.int32), n=3, width=3)
+    np.testing.assert_array_equal(np.asarray(d), [[3, 3, 3]])

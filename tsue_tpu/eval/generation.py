@@ -148,12 +148,23 @@ def trim_and_decode(row, tokenizer, extract_answer: bool = False) -> str:
 def generate_texts(mllm, variables, tokenizer, vision, prompt_ids,
                    prompt_mask, rng, max_new_tokens: int = 128,
                    cfg: Optional[SamplingConfig] = None,
-                   extract_answer: bool = False) -> List[str]:
-    """End-to-end convenience wrapper: ids in, postprocessed strings out."""
+                   extract_answer: bool = False,
+                   speculative: bool = False) -> List[str]:
+    """End-to-end convenience wrapper: ids in, postprocessed strings out.
+
+    ``speculative=True`` decodes with prompt-lookup speculative greedy
+    decoding (eval/speculative.py; requires cfg.do_sample=False) —
+    identical tokens, fewer forwards on templated outputs."""
     cfg = cfg or SamplingConfig()
-    gen = make_generate_fn(mllm, cfg, max_new_tokens,
-                           prompt_ids.shape[1], tokenizer.eos_id,
-                           tokenizer.pad_id)
+    if speculative:
+        from tsue_tpu.eval.speculative import make_speculative_generate_fn
+        gen = make_speculative_generate_fn(
+            mllm, cfg, max_new_tokens, prompt_ids.shape[1],
+            tokenizer.eos_id, tokenizer.pad_id)
+    else:
+        gen = make_generate_fn(mllm, cfg, max_new_tokens,
+                               prompt_ids.shape[1], tokenizer.eos_id,
+                               tokenizer.pad_id)
     out = np.asarray(gen(variables, vision, jnp.asarray(prompt_ids),
                          jnp.asarray(prompt_mask), rng))
     return [trim_and_decode(row, tokenizer, extract_answer) for row in out]

@@ -148,6 +148,38 @@ class MultiModalLLM(nn.Module):
         logits = self.llama_mod.logits_from_hidden(hidden[:, 0])
         return logits, caches
 
+    def decode_window(self, tokens, step_index, prefix_len, caches,
+                      fused_mask, cache_len: int, deterministic=True):
+        """Cached decode over a W-token window (speculative decoding).
+
+        tokens (B, W) int32 at per-row decode steps step_index..+W-1
+        (step_index (B,) int32); the W queries attend causally within the
+        window and to the row's valid cache.  Returns
+        (logits (B, W, V), new_caches) — logits[:, j] conditions on the
+        window prefix tokens[:, :j+1], so one forward scores every draft
+        position (the weight stream is read once for all W rows, which is
+        the entire speculative win; see eval/speculative.py).
+        W=1 with squeezed logits is exactly ``decode_step``.
+        """
+        B, W = tokens.shape
+        P = fused_mask.shape[1]
+        emb = self.llama_mod.embed(tokens)               # (B, W, D)
+        offs = jnp.arange(W)[None, :]
+        pos = prefix_len[:, None] + step_index[:, None] + offs   # (B, W)
+        slot = P + step_index                            # (B,) first write
+        k_idx = jnp.arange(cache_len)[None, None, :]
+        fmask_cache = jnp.pad(fused_mask, ((0, 0), (0, cache_len - P)))
+        # query j of row b sees: the valid prefix, plus decode slots
+        # P..slot[b]+j (its own slot inclusive — in-window causality)
+        upper = (slot[:, None] + offs)[..., None]        # (B, W, 1)
+        kv_mask = ((k_idx < P) & (fmask_cache[:, None, :] > 0)) | \
+                  ((k_idx >= P) & (k_idx <= upper))      # (B, W, cache_len)
+        hidden, caches = self.llama_mod.model(
+            emb, None, pos, deterministic, caches, slot,
+            kv_mask[:, None])                            # (B,1,W,cache_len)
+        logits = self.llama_mod.logits_from_hidden(hidden)
+        return logits, caches
+
     def lm_loss(self, vision, input_ids, attention_mask, labels,
                 deterministic=True) -> jnp.ndarray:
         """Stage-1 path: causal LM loss over the fused sequence with -100

@@ -191,11 +191,14 @@ class LlamaAttention(nn.Module):
             k = apply_rope(k, positions, inv_freq)
             ck, cv = kv_cache
             if getattr(cache_index, "ndim", 0) == 1:
-                # per-row write slots (continuous batching, serve_batching):
-                # every row of the T=1 step lands at its own cache offset
-                rows = jnp.arange(B)
-                ck = ck.at[rows, cache_index].set(k[:, 0])
-                cv = cv.at[rows, cache_index].set(v[:, 0])
+                # per-row write slots: every row lands at its own cache
+                # offset (continuous batching, serve_batching) — and a
+                # T-wide window writes T consecutive slots from each row's
+                # offset (speculative decoding, eval/speculative.py)
+                rows = jnp.arange(B)[:, None]
+                cols = cache_index[:, None] + jnp.arange(T)[None, :]
+                ck = ck.at[rows, cols].set(k)
+                cv = cv.at[rows, cols].set(v)
             else:
                 ck = jax.lax.dynamic_update_slice(ck, k,
                                                   (0, cache_index, 0, 0))

@@ -124,11 +124,17 @@ class Predictor:
 
     def generate_context(self, tracks: Sequence[dict],
                          max_new_tokens: int = 64,
-                         rng: Optional[jax.Array] = None) -> List[Dict]:
+                         rng: Optional[jax.Array] = None,
+                         sampling=None,
+                         speculative: bool = False) -> List[Dict]:
         """Generate traffic-context text per track (stage-1 capability).
 
         Requires cfg.model.use_llm; uses the per-track dataset and the
-        KV-cached sampled decoder.
+        KV-cached sampled decoder.  ``speculative=True`` uses
+        prompt-lookup speculative GREEDY decoding (eval/speculative.py) —
+        exact greedy output, fewer forwards on templated paragraphs;
+        pass ``sampling=SamplingConfig(do_sample=False, ...)`` (or leave
+        None: it is defaulted for you when speculative).
         """
         assert self.cfg.model.use_llm, "use_llm=False predictor"
         from tsue_tpu.data.text_dataset import build_track_text_dataset
@@ -138,12 +144,16 @@ class Predictor:
             return []
         rng = rng if rng is not None else jax.random.key(0)
         mllm, variables = self._mllm_variables()
+        if speculative and sampling is None:
+            from tsue_tpu.ops.sampling import SamplingConfig
+            sampling = SamplingConfig(do_sample=False)
         # prompt-only conditioning: mask the answer span out
         prompt_mask = ds.attention_mask * (ds.labels == -100)
         texts = generate_texts(
             mllm, variables, self.tokenizer,
             jnp.asarray(ds.vision), ds.input_ids * prompt_mask,
-            prompt_mask, rng, max_new_tokens)
+            prompt_mask, rng, max_new_tokens, cfg=sampling,
+            speculative=speculative)
         return [{"track_id": int(t), "context": txt}
                 for t, txt in zip(ds.track_id, texts)]
 
