@@ -1,0 +1,216 @@
+"""Serving CLI (beyond the reference): trajectory prediction + context
+generation over the precompiled `tsue_tpu.serve.Predictor`.
+
+Batch mode (default) — tracks in (pickle / synthetic fixture),
+predictions out as JSONL:
+
+    python scripts/serve.py --ckpt runs/train_18_30/ckpt/best \
+        --preset train_18_30 --data all_data.pkl --out preds.jsonl \
+        --candidates 10
+
+HTTP mode — a localhost JSON API with the programs compiled once at
+startup (every request is a fixed-shape device call, no retracing):
+
+    python scripts/serve.py --ckpt ... --port 8000
+    # GET  /healthz            -> {"status": "ok", ...}
+    # POST /predict            {"tracks": [{track dict}]} ->
+    #                          {"results": [{track_id, past_pixel_xy,
+    #                            pred_pixel_xy[, candidates_pixel_xy]}]}
+    # POST /generate           {"tracks": [...], "max_new_tokens": N} ->
+    #                          {"results": [{track_id, context}]}
+
+Track dicts use the all_data.pkl schema (SURVEY §2.1 D1):
+raw_trajectory (N,2), vision_embeddings (N,vision_dim), context_str,
+lane_roi, track_id — arrays as nested JSON lists over HTTP.
+
+Without --ckpt the predictor serves the deterministic random init
+(demo/smoke).  --quantize-decode serves generation with int8
+weight-only decode; --speculative uses prompt-lookup speculative greedy
+decoding (exact greedy output, fewer forwards on templated paragraphs).
+"""
+import json
+
+from _common import apply_overrides, base_parser, finish
+
+
+def _build_predictor(args, cfg):
+    import jax
+    from tsue_tpu.serve import Predictor
+    from tsue_tpu.train.checkpoint import import_mllm, restore_merge
+    from tsue_tpu.models.tsue import TrajectoryModel
+    import __graft_entry__ as ge
+
+    d = cfg.data
+    model = TrajectoryModel(cfg.model, d.seq_len, d.out_len)
+    batch = ge._make_batch(cfg, 1)
+    vs = jax.jit(lambda b: model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        b, False))(batch)
+    params = vs["params"]
+    if args.mllm_ckpt:
+        params = import_mllm(params, args.mllm_ckpt)
+    if args.ckpt:
+        params = restore_merge(args.ckpt, params)
+    from tsue_tpu.data import get_tokenizer
+    return Predictor(cfg, params, batch_size=args.serve_batch_size,
+                     num_candidates=args.candidates,
+                     tokenizer=get_tokenizer(args.tokenizer),
+                     quantize_decode=args.quantize_decode)
+
+
+def _jsonable(rec):
+    import numpy as np
+    return {k: (v.tolist() if isinstance(v, np.ndarray) else v)
+            for k, v in rec.items()}
+
+
+def _load_tracks(args, cfg):
+    from tsue_tpu.data.schema import load_tracks, make_synthetic_tracks
+    if args.data:
+        return load_tracks(args.data)
+    return make_synthetic_tracks(num_tracks=args.synthetic_tracks,
+                                 vision_dim=cfg.data.vision_dim,
+                                 seed=cfg.data.split_seed)
+
+
+def _coerce_tracks(raw):
+    """JSON track dicts -> numpy-backed dicts (HTTP request bodies)."""
+    import numpy as np
+    out = []
+    for t in raw:
+        t = dict(t)
+        for k in ("raw_trajectory", "vision_embeddings"):
+            if k in t:
+                t[k] = np.asarray(t[k], np.float32)
+        out.append(t)
+    return out
+
+
+def _serve_http(args, predictor):
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    import threading
+
+    lock = threading.Lock()          # device calls serialized per process
+
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code, payload):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):    # quiet access log
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"status": "ok",
+                                  "model": predictor.cfg.name,
+                                  "batch_size": predictor.batch_size,
+                                  "candidates": predictor.num_candidates})
+            else:
+                self._reply(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                tracks = _coerce_tracks(req.get("tracks", []))
+                with lock:
+                    if self.path == "/predict":
+                        res = predictor.predict(tracks)
+                    elif self.path == "/generate":
+                        mnt = int(req.get("max_new_tokens",
+                                          args.max_new_tokens))
+                        if args.batcher == "continuous":
+                            res = predictor.generate_context_batched(
+                                tracks, max_new_tokens=mnt)
+                        else:
+                            res = predictor.generate_context(
+                                tracks, max_new_tokens=mnt,
+                                speculative=args.speculative)
+                    else:
+                        self._reply(404,
+                                    {"error": f"unknown path {self.path}"})
+                        return
+                self._reply(200, {"results": [_jsonable(r) for r in res]})
+            except Exception as e:                      # noqa: BLE001
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+    srv = ThreadingHTTPServer(("127.0.0.1", args.port), Handler)
+    # the test (and any supervisor) syncs on this line
+    print(f"SERVING port={srv.server_address[1]}", flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.server_close()
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--preset", default="train_18_30")
+    p.add_argument("--ckpt", default=None, help="trained checkpoint dir "
+                   "(deterministic random init when absent — smoke/demo)")
+    p.add_argument("--mllm-ckpt", default=None,
+                   help="stage-1 MLLM artifact (frozen-regime checkpoints "
+                        "omit the frozen subtree)")
+    p.add_argument("--candidates", type=int, default=0,
+                   help="K MC-dropout candidates per prediction (0 = off)")
+    p.add_argument("--serve-batch-size", type=int, default=16,
+                   help="fixed compiled batch size")
+    p.add_argument("--quantize-decode", action="store_true")
+    p.add_argument("--speculative", action="store_true",
+                   help="prompt-lookup speculative greedy decoding for "
+                        "/generate and --generate (static batcher only)")
+    p.add_argument("--batcher", default="static",
+                   choices=("static", "continuous"),
+                   help="generation scheduling: static batches or the "
+                        "continuous slot-pool batcher (serve_batching.py)")
+    p.add_argument("--max-new-tokens", type=int, default=64)
+    p.add_argument("--generate", action="store_true",
+                   help="batch mode: generate context text instead of "
+                        "trajectories")
+    p.add_argument("--out", default=None, help="batch mode: output JSONL "
+                   "path (default stdout)")
+    p.add_argument("--port", type=int, default=None,
+                   help="start the HTTP API on 127.0.0.1:PORT instead of "
+                        "batch mode")
+    args = p.parse_args()
+
+    from tsue_tpu.config import get_preset
+    cfg = apply_overrides(get_preset(args.preset), args)
+    predictor = _build_predictor(args, cfg)
+
+    if args.port is not None:
+        predictor.warmup()
+        _serve_http(args, predictor)
+        return
+
+    tracks = _load_tracks(args, cfg)
+    if args.generate:
+        if args.batcher == "continuous":
+            results = predictor.generate_context_batched(
+                tracks, max_new_tokens=args.max_new_tokens)
+        else:
+            results = predictor.generate_context(
+                tracks, max_new_tokens=args.max_new_tokens,
+                speculative=args.speculative)
+    else:
+        results = predictor.predict(tracks)
+    lines = [json.dumps(_jsonable(r)) for r in results]
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write("\n".join(lines) + "\n")
+    else:
+        for ln in lines:
+            print(ln)
+    finish({"results": len(results), "out": args.out,
+            "mode": "generate" if args.generate else "predict"})
+
+
+if __name__ == "__main__":
+    main()

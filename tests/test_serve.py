@@ -191,3 +191,37 @@ def test_continuous_batcher_from_predictor():
     assert len(out) == len(reqs)
     assert all(len(row) <= 3 + i for i, row in enumerate(out))
     assert p._quant is not None  # quant tables threaded into the batcher
+
+
+def test_generate_context_batched_slot_invariant():
+    """Predictor.generate_context_batched: tracks in, text out through the
+    continuous batcher; per-request fold_in keys make the result invariant
+    to the pool size (co-batching never changes a track's output)."""
+    import dataclasses
+    from tsue_tpu.config import LlamaConfig, QFormerConfig
+    from tsue_tpu.data.tokenizer import ByteTokenizer
+    tok = ByteTokenizer()
+    cfg = dataclasses.replace(
+        CFG,
+        data=DataConfig(seq_len=6, out_len=6, max_length=640),
+        model=ModelConfig(
+            llama=LlamaConfig.tiny(tok.vocab_size),
+            qformer=QFormerConfig(num_encoder_layers=1, num_decoder_layers=1,
+                                  num_query_tokens=4),
+            lane=LaneEncoderConfig(d_model=16, nhead=2, num_layers=1),
+            ltsf=LTSFConfig(d_model=16, polygon_embed_dim=16)))
+    model = TrajectoryModel(cfg.model, 6, 6)
+    dummy = Predictor(cfg, None, batch_size=2)._dummy_batch()
+    vs = model.init({"params": jax.random.key(0),
+                     "dropout": jax.random.key(1)}, dummy, False)
+    p = Predictor(cfg, vs["params"], batch_size=2)
+    tracks = make_synthetic_tracks(num_tracks=3, track_len=300, seed=9)
+    rng = jax.random.key(77)
+    out2 = p.generate_context_batched(tracks, max_new_tokens=5, rng=rng,
+                                      num_slots=2, chunk=2)
+    out3 = p.generate_context_batched(tracks, max_new_tokens=5, rng=rng,
+                                      num_slots=3, chunk=3)
+    assert len(out2) == 3
+    assert all(isinstance(r["context"], str) for r in out2)
+    assert [r["track_id"] for r in out2] == [r["track_id"] for r in out3]
+    assert [r["context"] for r in out2] == [r["context"] for r in out3]

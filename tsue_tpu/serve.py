@@ -47,6 +47,7 @@ class Predictor:
         self.num_candidates = num_candidates
         self.quantize_decode = quantize_decode
         self._quant = None
+        self._batchers: Dict = {}
         self.tokenizer = tokenizer or get_tokenizer()
         self.model = TrajectoryModel(cfg.model, cfg.data.seq_len,
                                      cfg.data.out_len)
@@ -154,6 +155,55 @@ class Predictor:
             jnp.asarray(ds.vision), ds.input_ids * prompt_mask,
             prompt_mask, rng, max_new_tokens, cfg=sampling,
             speculative=speculative)
+        return [{"track_id": int(t), "context": txt}
+                for t, txt in zip(ds.track_id, texts)]
+
+    def generate_context_batched(self, tracks: Sequence[dict],
+                                 max_new_tokens: int = 64,
+                                 rng: Optional[jax.Array] = None,
+                                 sampling=None,
+                                 num_slots: Optional[int] = None,
+                                 chunk: int = 8) -> List[Dict]:
+        """``generate_context`` through the ContinuousBatcher slot pool.
+
+        Same request semantics (prompt-only conditioning, per-track
+        results) but scheduled with continuous refill — the serving path
+        for mixed-length traffic.  Per-request fold_in keys make each
+        track's output independent of co-batched traffic
+        (tests/test_serve_batching.py pins batcher == single-request
+        decodes)."""
+        assert self.cfg.model.use_llm, "use_llm=False predictor"
+        from tsue_tpu.data.text_dataset import build_track_text_dataset
+        from tsue_tpu.eval.generation import postprocess_text
+        ds = build_track_text_dataset(tracks, self.cfg.data, self.tokenizer)
+        if len(ds) == 0:
+            return []
+        prompt_mask = np.asarray(ds.attention_mask * (ds.labels == -100),
+                                 np.int32)
+        prompt_ids = np.asarray(ds.input_ids, np.int32) * prompt_mask
+        # reuse one batcher per pool shape: its jitted programs are
+        # closures, so a fresh instance per request would retrace
+        key = (num_slots or self.batch_size, prompt_ids.shape[1],
+               max_new_tokens, chunk, repr(sampling))
+        batcher = self._batchers.get(key)
+        if batcher is None:
+            batcher = self._batchers[key] = self.continuous_batcher(
+                num_slots=num_slots or self.batch_size,
+                prompt_len=prompt_ids.shape[1],
+                max_new_tokens=max_new_tokens, chunk=chunk,
+                sampling=sampling)
+        base = rng if rng is not None else jax.random.key(0)
+        reqs = []
+        for i in range(len(ds)):
+            r = {"prompt_ids": prompt_ids[i], "prompt_mask": prompt_mask[i],
+                 "rng": jax.random.fold_in(base, i)}
+            if self.cfg.model.use_vision:
+                r["vision"] = np.asarray(ds.vision[i])
+            reqs.append(r)
+        texts = [postprocess_text(
+            self.tokenizer.decode([int(t) for t in row
+                                   if t != self.tokenizer.pad_id]))
+            for row in batcher.run(reqs)]
         return [{"track_id": int(t), "context": txt}
                 for t, txt in zip(ds.track_id, texts)]
 
