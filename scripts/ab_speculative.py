@@ -13,7 +13,10 @@ so two workloads bound it:
 
 Real templated traffic-context generations sit between (see the
 trained-model acceptance probe in tests/test_speculative.py and
-PARITY.md).  Both arms emit identical tokens per workload (asserted).
+PARITY.md).  Per-workload token agreement between the two arms is
+computed and logged — bitwise only in exact arithmetic (pinned on CPU
+in tests/test_speculative.py); in bf16 the Tq=W window forward can
+flip near-tied argmaxes (see eval/speculative.py).
 
     python scripts/ab_speculative.py [--bs 16] [--window 8]
 
@@ -66,7 +69,7 @@ def main():
     loop_ids = jnp.tile(
         jnp.asarray(np.random.default_rng(1).integers(
             3, 50000, (args.bs, 8)), jnp.int32),
-        (1, args.prompt_len // 8))
+        (1, -(-args.prompt_len // 8)))[:, :args.prompt_len]
     workloads = {
         "looping": (SamplingConfig(do_sample=False, repetition_penalty=1.0,
                                    no_repeat_ngram_size=0), loop_ids),

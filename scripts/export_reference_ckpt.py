@@ -65,6 +65,14 @@ def main():
     else:
         from tsue_tpu.models.fusion import MultiModalLLM
         d = cfg.data
+        if not cfg.model.use_vision:
+            # the reference's stage-1 artifact always carries the
+            # Q-Former/vision weights (ref scripts/train.py:1137-1138);
+            # a no-vision tree would export random init in their place
+            raise SystemExit(
+                f"preset {cfg.name!r} has use_vision=False — its MLLM "
+                "checkpoints have no vision weights to export into the "
+                "reference stage-1 layout")
         mllm = MultiModalLLM(llama=cfg.model.llama, qformer=cfg.model.qformer)
         vs = mllm.init(
             {"params": jax.random.key(0), "dropout": jax.random.key(1)},

@@ -18,6 +18,8 @@ startup (every request is a fixed-shape device call, no retracing):
     #                            pred_pixel_xy[, candidates_pixel_xy]}]}
     # POST /generate           {"tracks": [...], "max_new_tokens": N} ->
     #                          {"results": [{track_id, context}]}
+    #                          (N clamped to --max-new-tokens: distinct
+    #                           values compile distinct programs)
 
 Track dicts use the all_data.pkl schema (SURVEY §2.1 D1):
 raw_trajectory (N,2), vision_embeddings (N,vision_dim), context_str,
@@ -122,8 +124,13 @@ def _serve_http(args, predictor):
                     if self.path == "/predict":
                         res = predictor.predict(tracks)
                     elif self.path == "/generate":
-                        mnt = int(req.get("max_new_tokens",
-                                          args.max_new_tokens))
+                        # clamp to the startup cap: each distinct value
+                        # compiles a program (Predictor bounds its caches,
+                        # but an unclamped client-controlled knob would
+                        # still churn compiles)
+                        mnt = max(1, min(int(req.get("max_new_tokens",
+                                              args.max_new_tokens)),
+                                         args.max_new_tokens))
                         if args.batcher == "continuous":
                             res = predictor.generate_context_batched(
                                 tracks, max_new_tokens=mnt)
@@ -187,6 +194,13 @@ def main():
 
     if args.port is not None:
         predictor.warmup()
+        if cfg.model.use_llm:
+            # compile /generate's program now — first-request XLA compiles
+            # take minutes at 1B scale (the module docstring's "compiled
+            # once at startup" contract)
+            predictor.prepare_generation(
+                args.max_new_tokens, speculative=args.speculative,
+                batched=(args.batcher == "continuous"))
         _serve_http(args, predictor)
         return
 

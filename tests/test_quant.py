@@ -109,8 +109,8 @@ class TestQuantCollection:
 
     def test_decode_logits_close_and_training_untouched(self, tiny_mllm):
         """Quantized decode-step logits track the bf16 logits within the
-        int8 error budget; the training forward (T > 1) ignores the
-        collection entirely (bit-identical loss)."""
+        int8 error budget; the training forward (quant_ok never set)
+        ignores the collection entirely (bit-identical loss)."""
         mllm, variables, vision, ids, mask = tiny_mllm
         qvars = with_quantized_decode(variables)
         cache_len = ids.shape[1] + 8
@@ -120,7 +120,8 @@ class TestQuantCollection:
                 v, vision, ids, mask, cache_len, method=mllm.prefill)
             l0 = mllm.apply(
                 v, last_hidden,
-                method=lambda m, h: m.llama_mod.logits_from_hidden(h))
+                method=lambda m, h: m.llama_mod.logits_from_hidden(
+                    h, quant_ok=True))
             tok = jnp.argmax(l0, axis=-1).astype(jnp.int32)
             l1, _ = mllm.apply(v, tok, 0, prefix_len, caches, fmask,
                                cache_len, method=mllm.decode_step)

@@ -225,3 +225,61 @@ def test_generate_context_batched_slot_invariant():
     assert all(isinstance(r["context"], str) for r in out2)
     assert [r["track_id"] for r in out2] == [r["track_id"] for r in out3]
     assert [r["context"] for r in out2] == [r["context"] for r in out3]
+
+
+def _tiny_llm_predictor(batch_size=2, max_length=64, **kw):
+    import dataclasses
+    from tsue_tpu.config import LlamaConfig, QFormerConfig
+    from tsue_tpu.data.tokenizer import ByteTokenizer
+    tok = ByteTokenizer()
+    cfg = dataclasses.replace(
+        CFG,
+        data=DataConfig(seq_len=6, out_len=6, max_length=max_length),
+        model=ModelConfig(
+            llama=LlamaConfig.tiny(tok.vocab_size),
+            qformer=QFormerConfig(num_encoder_layers=1, num_decoder_layers=1,
+                                  num_query_tokens=4),
+            lane=LaneEncoderConfig(d_model=16, nhead=2, num_layers=1),
+            ltsf=LTSFConfig(d_model=16, polygon_embed_dim=16)))
+    model = TrajectoryModel(cfg.model, 6, 6)
+    dummy = Predictor(cfg, None, batch_size=batch_size)._dummy_batch()
+    vs = model.init({"params": jax.random.key(0),
+                     "dropout": jax.random.key(1)}, dummy, False)
+    return Predictor(cfg, vs["params"], batch_size=batch_size, **kw)
+
+
+def test_generation_program_cached_and_bounded():
+    """generate_context compiles its program once per (max_new, mode,
+    sampling) key and the cache is LRU-bounded — a long-running server
+    fed request-controlled max_new_tokens values must not leak compiled
+    programs (or their pool buffers) without bound."""
+    p = _tiny_llm_predictor()
+    tracks = make_synthetic_tracks(num_tracks=2, track_len=300, seed=9)
+    out1 = p.generate_context(tracks, max_new_tokens=4)
+    gen1 = p._generators[next(iter(p._generators))]
+    out2 = p.generate_context(tracks, max_new_tokens=4)
+    assert len(p._generators) == 1
+    assert p._generators[next(iter(p._generators))] is gen1
+    assert [r["context"] for r in out1] == [r["context"] for r in out2]
+    for mnt in (1, 2, 3, 5, 6):
+        p.generate_context(tracks, max_new_tokens=mnt)
+    assert len(p._generators) <= p._cache_max
+    # the batcher cache is bounded by the same mechanism
+    for mnt in (1, 2, 3, 5, 6):
+        p.generate_context_batched(tracks, max_new_tokens=mnt)
+    assert len(p._batchers) <= p._cache_max
+
+
+def test_prepare_generation_precompiles():
+    """prepare_generation at startup compiles the same cache entry a real
+    request uses (the HTTP server's 'compiled once at startup' contract)."""
+    p = _tiny_llm_predictor()
+    p.prepare_generation(max_new_tokens=4)
+    assert len(p._generators) == 1
+    gen = p._generators[next(iter(p._generators))]
+    tracks = make_synthetic_tracks(num_tracks=2, track_len=300, seed=9)
+    p.generate_context(tracks, max_new_tokens=4)
+    assert len(p._generators) == 1
+    assert p._generators[next(iter(p._generators))] is gen
+    p.prepare_generation(max_new_tokens=4, batched=True)
+    assert len(p._batchers) == 1

@@ -181,3 +181,42 @@ def test_ngram_draft_prefers_full_continuation():
     hist = jnp.asarray([[3, 3, 3, 3, 3, 0, 0, 0, 0]], jnp.int32)
     d = ngram_draft(hist, jnp.asarray([5], jnp.int32), n=3, width=3)
     np.testing.assert_array_equal(np.asarray(d), [[3, 3, 3]])
+
+
+def test_speculative_matches_greedy_under_int8_decode(mllm_and_vars):
+    """quantize_decode composes with speculation: with the "quant"
+    collection attached, the window forward (decode_window) uses the SAME
+    int8 weights as the plain decode step, so speculative output still
+    equals the token-at-a-time greedy decode bitwise (CPU f32) — and the
+    int8 path is genuinely engaged (tokens differ from the bf16 run)."""
+    from tsue_tpu.ops.quant import with_quantized_decode
+    mllm, variables = mllm_and_vars
+    qvars = with_quantized_decode(variables)
+    max_new = 12
+    vision, ids, mask = _batch(4, seed=11)
+    ref_gen = make_generate_fn(mllm, GREEDY, max_new, PROMPT_LEN,
+                               eos_id=EOS)
+    spec_gen = make_speculative_generate_fn(
+        mllm, GREEDY, max_new, PROMPT_LEN, eos_id=EOS, window=4,
+        draft_ngram=2)
+    ref_q = np.asarray(ref_gen(qvars, vision, ids, mask, jax.random.key(0)))
+    got_q = np.asarray(spec_gen(qvars, vision, ids, mask))
+    np.testing.assert_array_equal(
+        got_q, ref_q,
+        err_msg="speculative+int8 diverged from plain greedy+int8")
+    # engagement: the window forward's logits must actually move under
+    # int8 (a dead quant path in decode_window would give exactly 0)
+    cache_len = PROMPT_LEN + 8
+    W = 4
+
+    def window_logits(v):
+        caches, last_hidden, plen, fmask = mllm.apply(
+            v, vision, ids, mask, cache_len, method=mllm.prefill)
+        toks = jnp.asarray(np.full((vision.shape[0], W), 3), jnp.int32)
+        step0 = jnp.zeros((vision.shape[0],), jnp.int32)
+        lg, _ = mllm.apply(v, toks, step0, plen, caches, fmask, cache_len,
+                           method=mllm.decode_window)
+        return np.asarray(lg)
+
+    diff = np.abs(window_logits(qvars) - window_logits(variables)).max()
+    assert diff > 0, "int8 path never engaged in decode_window"

@@ -64,8 +64,10 @@ def make_generate_fn(mllm, cfg: SamplingConfig, max_new_tokens: int,
         caches, last_hidden, prefix_len, fmask = mllm.apply(
             variables, vision, prompt_ids, prompt_mask, cache_len,
             method=mllm.prefill)
-        logits0 = mllm.apply(variables, last_hidden,
-                             method=lambda m, h: m.llama_mod.logits_from_hidden(h))
+        logits0 = mllm.apply(
+            variables, last_hidden,
+            method=lambda m, h: m.llama_mod.logits_from_hidden(
+                h, quant_ok=True))
 
         # token history for repetition penalty / ngram ban starts with the
         # prompt (HF sees fake_input_ids=prompt_ids, ref train.py:625)
@@ -153,8 +155,11 @@ def generate_texts(mllm, variables, tokenizer, vision, prompt_ids,
     """End-to-end convenience wrapper: ids in, postprocessed strings out.
 
     ``speculative=True`` decodes with prompt-lookup speculative greedy
-    decoding (eval/speculative.py; requires cfg.do_sample=False) —
-    identical tokens, fewer forwards on templated outputs."""
+    decoding (eval/speculative.py; requires cfg.do_sample=False, and a
+    ``cfg=None`` default becomes greedy automatically) — identical
+    tokens, fewer forwards on templated outputs."""
+    if speculative and cfg is None:
+        cfg = SamplingConfig(do_sample=False)
     cfg = cfg or SamplingConfig()
     if speculative:
         from tsue_tpu.eval.speculative import make_speculative_generate_fn

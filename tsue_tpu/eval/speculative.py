@@ -25,6 +25,13 @@ the generation), where lookup hits are frequent.  The reference has no
 serving/speculation story (its generation is a blocking HF ``generate``,
 ref scripts/train.py:637-642); this is a deployment-side addition.
 
+Composes with int8 weight-only decode (ops/quant.py): the window
+forward passes ``quant_ok=True`` exactly like the plain decode step, so
+``serve.Predictor(quantize_decode=True)`` + ``speculative=True`` both
+halves the weight stream and amortizes it over the window — and the
+"exact greedy" contract is against the int8 decode both arms use
+(pinned in tests/test_quant.py).
+
 TPU-first mechanics: ONE jitted ``lax.while_loop`` whose body is fixed
 shape — a (B, W) window forward with per-row cache offsets, V-wide
 processor scoring vmapped over the W positions, masked scatters for
@@ -134,7 +141,8 @@ def make_speculative_generate_fn(mllm, cfg: SamplingConfig,
             method=mllm.prefill)
         logits0 = mllm.apply(
             variables, last_hidden,
-            method=lambda m, h: m.llama_mod.logits_from_hidden(h))
+            method=lambda m, h: m.llama_mod.logits_from_hidden(
+                h, quant_ok=True))
 
         history = jnp.concatenate(
             [prompt_ids,

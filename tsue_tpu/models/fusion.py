@@ -144,8 +144,10 @@ class MultiModalLLM(nn.Module):
         kv_mask = ((k_idx < P) & (fmask_cache > 0)) | \
                   ((k_idx >= P) & (k_idx <= upper))      # (B, cache_len)
         hidden, caches = self.llama_mod.model(
-            emb, None, pos, deterministic, caches, slot, kv_mask)
-        logits = self.llama_mod.logits_from_hidden(hidden[:, 0])
+            emb, None, pos, deterministic, caches, slot, kv_mask,
+            quant_ok=True)
+        logits = self.llama_mod.logits_from_hidden(hidden[:, 0],
+                                                   quant_ok=True)
         return logits, caches
 
     def decode_window(self, tokens, step_index, prefix_len, caches,
@@ -176,8 +178,9 @@ class MultiModalLLM(nn.Module):
                   ((k_idx >= P) & (k_idx <= upper))      # (B, W, cache_len)
         hidden, caches = self.llama_mod.model(
             emb, None, pos, deterministic, caches, slot,
-            kv_mask[:, None])                            # (B,1,W,cache_len)
-        logits = self.llama_mod.logits_from_hidden(hidden)
+            kv_mask[:, None],                            # (B,1,W,cache_len)
+            quant_ok=True)
+        logits = self.llama_mod.logits_from_hidden(hidden, quant_ok=True)
         return logits, caches
 
     def lm_loss(self, vision, input_ids, attention_mask, labels,

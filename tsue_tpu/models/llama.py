@@ -113,12 +113,16 @@ class LoRADense(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic=True, swiglu_up=None):
+    def __call__(self, x, deterministic=True, swiglu_up=None,
+                 quant_ok=False):
         in_f = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (in_f, self.features))
-        decode_quant = (x.ndim == 3 and x.shape[1] == 1
-                        and self.has_variable("quant", "w8"))
+        # ``quant_ok`` is threaded down from the fusion decode methods
+        # (decode_step / decode_window) ONLY — prefill and training keep
+        # the bf16 weights even when the "quant" collection is attached
+        # to the whole variables dict
+        decode_quant = quant_ok and self.has_variable("quant", "w8")
         if swiglu_up is not None:
             # down-projection form: x is the gate, y = (silu(x)*up) @ W.
             # The opt-in fused kernel computes silu in f32 (documented
@@ -133,9 +137,10 @@ class LoRADense(nn.Module):
                                      kernel.astype(self.dtype))
             x = nn.silu(x) * swiglu_up
         if decode_quant:
-            # int8 weight-only decode path (ops/quant.py): active only for
-            # single-token decode steps — prefill/training (T > 1,
-            # compute-bound) keep the bf16 weights
+            # int8 weight-only decode path (ops/quant.py): active for
+            # cached decode calls only (single-token steps AND speculative
+            # W-token windows) — prefill/training (compute-bound) keep
+            # the bf16 weights
             from tsue_tpu.ops.quant import int8_matmul
             y = int8_matmul(x, self.get_variable("quant", "w8"),
                             self.get_variable("quant", "scale"))
@@ -164,7 +169,8 @@ class LlamaAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, positions, inv_freq, deterministic=True,
-                 kv_cache: Optional[Tuple] = None, cache_index=None):
+                 kv_cache: Optional[Tuple] = None, cache_index=None,
+                 quant_ok=False):
         c = self.cfg
         B, T, _ = x.shape
         lr = c.lora_r if c.use_lora else 0
@@ -172,13 +178,13 @@ class LlamaAttention(nn.Module):
                        dtype=self.dtype)
         q = LoRADense(c.num_heads * c.head_dim, name="q_proj",
                       lora_r=lr if "q_proj" in c.lora_targets else 0,
-                      **lora_kw)(x, deterministic)
+                      **lora_kw)(x, deterministic, quant_ok=quant_ok)
         k = LoRADense(c.num_kv_heads * c.head_dim, name="k_proj",
                       lora_r=lr if "k_proj" in c.lora_targets else 0,
-                      **lora_kw)(x, deterministic)
+                      **lora_kw)(x, deterministic, quant_ok=quant_ok)
         v = LoRADense(c.num_kv_heads * c.head_dim, name="v_proj",
                       lora_r=lr if "v_proj" in c.lora_targets else 0,
-                      **lora_kw)(x, deterministic)
+                      **lora_kw)(x, deterministic, quant_ok=quant_ok)
         q = q.reshape(B, T, c.num_heads, c.head_dim)
         k = k.reshape(B, T, c.num_kv_heads, c.head_dim)
         v = v.reshape(B, T, c.num_kv_heads, c.head_dim)
@@ -219,7 +225,7 @@ class LlamaAttention(nn.Module):
         out = out.reshape(B, T, c.num_heads * c.head_dim)
         out = LoRADense(c.hidden_size, name="o_proj",
                         lora_r=lr if "o_proj" in c.lora_targets else 0,
-                        **lora_kw)(out, deterministic)
+                        **lora_kw)(out, deterministic, quant_ok=quant_ok)
         return out, kv_cache
 
 
@@ -228,14 +234,15 @@ class LlamaMLP(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, quant_ok=False):
         c = self.cfg
         gate = LoRADense(c.intermediate_size, name="gate_proj",
-                         dtype=self.dtype)(x)
+                         dtype=self.dtype)(x, quant_ok=quant_ok)
         up = LoRADense(c.intermediate_size, name="up_proj",
-                       dtype=self.dtype)(x)
+                       dtype=self.dtype)(x, quant_ok=quant_ok)
         return LoRADense(c.hidden_size, name="down_proj",
-                         dtype=self.dtype)(gate, swiglu_up=up)
+                         dtype=self.dtype)(gate, swiglu_up=up,
+                                           quant_ok=quant_ok)
 
 
 class LlamaLayer(nn.Module):
@@ -244,13 +251,15 @@ class LlamaLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, positions, inv_freq, deterministic=True,
-                 kv_cache=None, cache_index=None):
+                 kv_cache=None, cache_index=None, quant_ok=False):
         h, new_cache = LlamaAttention(self.cfg, self.dtype, name="attn")(
             RMSNorm(self.cfg.rms_norm_eps, name="input_norm")(x),
-            mask, positions, inv_freq, deterministic, kv_cache, cache_index)
+            mask, positions, inv_freq, deterministic, kv_cache, cache_index,
+            quant_ok)
         x = x + h
         h = LlamaMLP(self.cfg, self.dtype, name="mlp")(
-            RMSNorm(self.cfg.rms_norm_eps, name="post_attn_norm")(x))
+            RMSNorm(self.cfg.rms_norm_eps, name="post_attn_norm")(x),
+            quant_ok)
         return x + h, new_cache
 
 
@@ -275,8 +284,9 @@ class LlamaModel(nn.Module):
         if c.remat:
             # trade recompute for activation memory (jax.checkpoint per
             # layer) — lets the 1B model train long sequences on one chip
-            # static_argnums counts self at 0: deterministic is arg 5
-            layer_cls = nn.remat(LlamaLayer, static_argnums=(5,),
+            # static_argnums counts self at 0: deterministic is arg 5,
+            # quant_ok arg 8 (both Python bools)
+            layer_cls = nn.remat(LlamaLayer, static_argnums=(5, 8),
                                  policy=_remat_policy(c.remat_policy))
         self.layers = [layer_cls(c, self.dtype, name=f"layer_{i}")
                        for i in range(c.num_layers)]
@@ -288,13 +298,15 @@ class LlamaModel(nn.Module):
 
     def __call__(self, inputs_embeds=None, attention_mask=None, positions=None,
                  deterministic=True, kv_caches=None, cache_index=None,
-                 kv_mask=None, input_ids=None):
+                 kv_mask=None, quant_ok=False, input_ids=None):
         """inputs_embeds: (B, T, D) (or ``input_ids`` (B, T) to embed here);
         attention_mask: (B, T) 1=real.
 
         Returns (hidden (B,T,D), new_kv_caches or None).
         In decode mode (kv_caches given) ``kv_mask`` (B, T_cache) marks
         valid cache slots and causality is handled by the caller's mask.
+        ``quant_ok=True`` (decode calls only) lets the projections use the
+        int8 "quant" collection when attached (ops/quant.py).
         """
         if inputs_embeds is None:
             inputs_embeds = self.embed_tokens(input_ids)
@@ -312,14 +324,17 @@ class LlamaModel(nn.Module):
                 mask = attention_mask.astype(bool)  # (B, Tk) key-validity
             new_caches = None
             for layer in self.layers:
+                # full positional arg list: the remat wrapper's
+                # static_argnums are positional indices, so every call
+                # must supply the same arity
                 x, _ = layer(x, mask, positions, self._inv_freq,
-                             deterministic)
+                             deterministic, None, None, False)
         else:
             mask = kv_mask.astype(bool) if kv_mask is not None else None
             new_caches = []
             for layer, cache in zip(self.layers, kv_caches):
                 x, nc = layer(x, mask, positions, self._inv_freq,
-                              deterministic, cache, cache_index)
+                              deterministic, cache, cache_index, quant_ok)
                 new_caches.append(nc)
         return self.final_norm(x), new_caches
 
@@ -338,10 +353,15 @@ class LlamaForCausalLM(nn.Module):
     def embed(self, input_ids):
         return self.model.embed(input_ids)
 
-    def logits_from_hidden(self, hidden):
-        if hidden.ndim == 2 and self.has_variable("quant", "lm_head_w8"):
+    def logits_from_hidden(self, hidden, quant_ok=False):
+        """``quant_ok=True`` on decode-side reads only (generation's
+        logits0 / decode_step / decode_window): training forwards keep
+        the bf16 head even when the collection is attached."""
+        if quant_ok and self.has_variable("quant", "lm_head_w8"):
             # int8 decode path: the V-wide LM-head stream is the single
-            # largest weight read of a decode step (ops/quant.py)
+            # largest weight read of a decode step (ops/quant.py);
+            # int8_matmul handles both the (B, D) step and the (B, W, D)
+            # speculative-window hidden
             from tsue_tpu.ops.quant import int8_matmul
             return int8_matmul(hidden,
                                self.get_variable("quant", "lm_head_w8"),

@@ -13,9 +13,12 @@ Plumbing is a flax variable collection: :func:`quantize_llama_params`
 builds a ``"quant"`` tree mirroring the Llama projection modules (plus
 the tied/untied LM head at the ``LlamaForCausalLM`` scope), and
 :func:`with_quantized_decode` attaches it to a ``variables`` dict.  The
-modules (``models.llama.LoRADense`` / ``logits_from_hidden``) consult the
-collection and use the int8 path only for small-M calls — prefill and
-training (large M, compute-bound) keep the bf16 weights untouched, so
+modules (``models.llama.LoRADense`` / ``logits_from_hidden``) use the
+int8 path only when BOTH the collection is attached AND the call site
+passes ``quant_ok=True`` — which only the fusion decode methods
+(``decode_step`` / the speculative ``decode_window``) and generation's
+first-token ``logits_from_hidden`` do.  Prefill and training keep the
+bf16 weights untouched even with the collection attached, so
 quality-sensitive paths are unchanged and the int8 copy is decode-only.
 
 This is an OPT-IN serving mode (``serve.Predictor(quantize_decode=True)``,

@@ -47,7 +47,13 @@ class Predictor:
         self.num_candidates = num_candidates
         self.quantize_decode = quantize_decode
         self._quant = None
+        # compiled-program caches (generation fns / continuous batchers),
+        # LRU-bounded: keys include request-controlled fields
+        # (max_new_tokens), so a long-running server must not retain one
+        # compiled program per distinct value ever seen
         self._batchers: Dict = {}
+        self._generators: Dict = {}
+        self._cache_max = 4
         self.tokenizer = tokenizer or get_tokenizer()
         self.model = TrajectoryModel(cfg.model, cfg.data.seq_len,
                                      cfg.data.out_len)
@@ -123,6 +129,40 @@ class Predictor:
             variables["quant"] = self._quant
         return mllm, variables
 
+    def _cache_get(self, cache: Dict, key, build):
+        """LRU-bounded compiled-program cache (see __init__ note)."""
+        if key in cache:
+            cache[key] = cache.pop(key)        # refresh recency
+            return cache[key]
+        val = cache[key] = build()
+        while len(cache) > self._cache_max:
+            cache.pop(next(iter(cache)))       # evict least recent
+        return val
+
+    def _generation_fn(self, max_new_tokens: int, speculative: bool,
+                       sampling):
+        """Cached jitted generator at the serving shapes (B = batch_size,
+        prompt width = cfg.data.max_length): a long-running server must
+        compile generation once, not per request."""
+        from tsue_tpu.eval.generation import make_generate_fn
+        from tsue_tpu.eval.speculative import make_speculative_generate_fn
+        from tsue_tpu.ops.sampling import SamplingConfig
+        if speculative and sampling is None:
+            sampling = SamplingConfig(do_sample=False)
+        sampling = sampling or SamplingConfig()
+        key = (max_new_tokens, speculative, repr(sampling))
+
+        def build():
+            mllm, variables = self._mllm_variables()
+            make = (make_speculative_generate_fn if speculative
+                    else make_generate_fn)
+            fn = make(mllm, sampling, max_new_tokens,
+                      self.cfg.data.max_length, self.tokenizer.eos_id,
+                      self.tokenizer.pad_id)
+            return fn, variables
+
+        return self._cache_get(self._generators, key, build)
+
     def generate_context(self, tracks: Sequence[dict],
                          max_new_tokens: int = 64,
                          rng: Optional[jax.Array] = None,
@@ -130,33 +170,66 @@ class Predictor:
                          speculative: bool = False) -> List[Dict]:
         """Generate traffic-context text per track (stage-1 capability).
 
-        Requires cfg.model.use_llm; uses the per-track dataset and the
-        KV-cached sampled decoder.  ``speculative=True`` uses
-        prompt-lookup speculative GREEDY decoding (eval/speculative.py) —
-        exact greedy output, fewer forwards on templated paragraphs;
-        pass ``sampling=SamplingConfig(do_sample=False, ...)`` (or leave
-        None: it is defaulted for you when speculative).
+        Requires cfg.model.use_llm; runs the KV-cached sampled decoder in
+        fixed ``batch_size`` chunks through a cached compiled program (no
+        per-request retrace, no per-request-count shapes).
+        ``speculative=True`` uses prompt-lookup speculative GREEDY
+        decoding (eval/speculative.py) — exact greedy output, fewer
+        forwards on templated paragraphs; pass
+        ``sampling=SamplingConfig(do_sample=False, ...)`` (or leave None:
+        it is defaulted for you when speculative).  Composes with
+        ``quantize_decode=True``: both the plain steps and the
+        speculative window forwards then use the int8 weights.
         """
         assert self.cfg.model.use_llm, "use_llm=False predictor"
         from tsue_tpu.data.text_dataset import build_track_text_dataset
-        from tsue_tpu.eval.generation import generate_texts
+        from tsue_tpu.eval.generation import trim_and_decode
         ds = build_track_text_dataset(tracks, self.cfg.data, self.tokenizer)
-        if len(ds) == 0:
+        n = len(ds)
+        if n == 0:
             return []
         rng = rng if rng is not None else jax.random.key(0)
-        mllm, variables = self._mllm_variables()
-        if speculative and sampling is None:
-            from tsue_tpu.ops.sampling import SamplingConfig
-            sampling = SamplingConfig(do_sample=False)
+        gen, variables = self._generation_fn(max_new_tokens, speculative,
+                                             sampling)
         # prompt-only conditioning: mask the answer span out
-        prompt_mask = ds.attention_mask * (ds.labels == -100)
-        texts = generate_texts(
-            mllm, variables, self.tokenizer,
-            jnp.asarray(ds.vision), ds.input_ids * prompt_mask,
-            prompt_mask, rng, max_new_tokens, cfg=sampling,
-            speculative=speculative)
+        prompt_mask = np.asarray(ds.attention_mask * (ds.labels == -100),
+                                 np.int32)
+        prompt_ids = np.asarray(ds.input_ids, np.int32) * prompt_mask
+        B = self.batch_size
+        rows = []
+        for s in range(0, n, B):
+            idx = np.arange(s, min(s + B, n))
+            sel = np.concatenate([idx, np.repeat(idx[-1:], B - len(idx))])
+            out = gen(variables, jnp.asarray(ds.vision[sel]),
+                      jnp.asarray(prompt_ids[sel]),
+                      jnp.asarray(prompt_mask[sel]),
+                      jax.random.fold_in(rng, s))
+            rows.append(np.asarray(out)[:len(idx)])
+        texts = [trim_and_decode(row, self.tokenizer)
+                 for row in np.concatenate(rows)]
         return [{"track_id": int(t), "context": txt}
                 for t, txt in zip(ds.track_id, texts)]
+
+    def prepare_generation(self, max_new_tokens: int = 64,
+                           speculative: bool = False, sampling=None,
+                           batched: bool = False,
+                           num_slots: Optional[int] = None,
+                           chunk: int = 8):
+        """Compile a generation program at startup (HTTP serving): runs
+        one dummy track end-to-end through the requested path so the
+        first real request pays a device call, not an XLA compile."""
+        d = self.cfg.data
+        track = {"track_id": 0, "context_str": "warmup",
+                 "vision_embeddings": np.zeros((d.downsample, d.vision_dim),
+                                               np.float32)}
+        if batched:
+            self.generate_context_batched(
+                [track], max_new_tokens=max_new_tokens, sampling=sampling,
+                num_slots=num_slots, chunk=chunk)
+        else:
+            self.generate_context([track], max_new_tokens=max_new_tokens,
+                                  sampling=sampling, speculative=speculative)
+        return self
 
     def generate_context_batched(self, tracks: Sequence[dict],
                                  max_new_tokens: int = 64,
@@ -185,13 +258,13 @@ class Predictor:
         # closures, so a fresh instance per request would retrace
         key = (num_slots or self.batch_size, prompt_ids.shape[1],
                max_new_tokens, chunk, repr(sampling))
-        batcher = self._batchers.get(key)
-        if batcher is None:
-            batcher = self._batchers[key] = self.continuous_batcher(
+        batcher = self._cache_get(
+            self._batchers, key,
+            lambda: self.continuous_batcher(
                 num_slots=num_slots or self.batch_size,
                 prompt_len=prompt_ids.shape[1],
                 max_new_tokens=max_new_tokens, chunk=chunk,
-                sampling=sampling)
+                sampling=sampling))
         base = rng if rng is not None else jax.random.key(0)
         reqs = []
         for i in range(len(ds)):

@@ -122,7 +122,8 @@ class ContinuousBatcher:
             self.cache_len, method=self.mllm.prefill)
         logits0 = self.mllm.apply(
             self.variables, last_hidden,
-            method=lambda m, h: m.llama_mod.logits_from_hidden(h))
+            method=lambda m, h: m.llama_mod.logits_from_hidden(
+                h, quant_ok=True))
         caches = tuple(
             (ck.at[slots].set(nk), cv.at[slots].set(nv))
             for (ck, cv), (nk, nv) in zip(state.caches, caches_a))
