@@ -97,6 +97,13 @@ def apply_overrides(cfg, args):
     if getattr(args, "rng_impl", None):
         tr = dataclasses.replace(tr, rng_impl=args.rng_impl)
     cfg = dataclasses.replace(cfg, train=tr)
+    ms = cfg.mesh
+    if getattr(args, "pipeline_parallel", None):
+        ms = dataclasses.replace(ms, pipeline_parallel=args.pipeline_parallel)
+    if getattr(args, "microbatches", None):
+        ms = dataclasses.replace(ms, microbatches=args.microbatches)
+    if ms is not cfg.mesh:
+        cfg = dataclasses.replace(cfg, mesh=ms)
     if getattr(args, "tiny", False):
         from tsue_tpu.config import (LlamaConfig, LaneEncoderConfig,
                                      LTSFConfig, ModelConfig, QFormerConfig)

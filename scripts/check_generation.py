@@ -15,6 +15,13 @@ def main():
                    help="compute the LM loss in sequence chunks of this "
                         "size (no (B,T,128256) logit materialization; "
                         "identical numerics — models/llama.py)")
+    p.add_argument("--pipeline-parallel", type=int, default=None,
+                   help="GPipe pipeline stages over the Llama decoder "
+                        "depth (parallel/pipeline.py); must divide both "
+                        "the device count and num_layers")
+    p.add_argument("--microbatches", type=int, default=None,
+                   help="GPipe microbatch upper bound (clamped to the "
+                        "largest divisor of the per-data-shard batch)")
     args = p.parse_args()  # --remat/--remat-policy live in base_parser
     from tsue_tpu.config import get_preset
     from tsue_tpu.runner import run_stage1

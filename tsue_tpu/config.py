@@ -183,6 +183,13 @@ class MeshConfig:
     model_axis: str = "model"
     model_parallel: int = 1
     fsdp: bool = False
+    # GPipe-style pipeline parallelism over the Llama decoder depth
+    # (parallel/pipeline.py; stage-1 LM fine-tune path).  >1 splits the
+    # layer stack into that many stages on a ("data", "pipe") mesh;
+    # ``microbatches`` is the GPipe microbatch count (clamped to the
+    # largest value that divides the per-data-shard batch).
+    pipeline_parallel: int = 1
+    microbatches: int = 4
 
 
 @dataclass(frozen=True)

@@ -435,6 +435,15 @@ def causal_lm_loss_chunked(hidden: jnp.ndarray, labels: jnp.ndarray,
     the dense loss (pinned in tests/test_llama.py), peak memory
     O(B * chunk * V) instead of O(B * T * V).
     """
+    s, n = causal_lm_ce_sum_chunked(hidden, labels, logits_fn, chunk)
+    return s / jnp.maximum(n, 1)
+
+
+def causal_lm_ce_sum_chunked(hidden: jnp.ndarray, labels: jnp.ndarray,
+                             logits_fn, chunk: int):
+    """(CE sum, valid-token count) form of :func:`causal_lm_loss_chunked`
+    for callers that combine partial sums across shards before dividing
+    (the pipelined stage-1 loss, parallel/pipeline.py)."""
     B, T, D = hidden.shape
     h = hidden[:, :-1]          # keep model dtype: the LM-head matmul
     y = labels[:, 1:]           # must see the same inputs as the dense path
@@ -464,7 +473,7 @@ def causal_lm_loss_chunked(hidden: jnp.ndarray, labels: jnp.ndarray,
     (s, n), _ = jax.lax.scan(
         body, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
         (hc, yc))
-    return s / jnp.maximum(n, 1)
+    return s, n
 
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,

@@ -752,10 +752,36 @@ def run_stage1(cfg: ExperimentConfig, data_path: Optional[str] = None,
         {"params": jax.random.key(0), "dropout": jax.random.key(1)},
         b0["vision"], b0["input_ids"], b0["attention_mask"])
     params = variables["params"]
-    tx = make_stage1_optimizer(cfg, params)
-    opt_state = tx.init(params)
-    step = jax.jit(make_stage1_train_step(mllm, tx))
-    ev = jax.jit(make_stage1_eval_step(mllm))
+    pp = cfg.mesh.pipeline_parallel
+    if pp > 1:
+        # GPipe pipeline over the decoder depth (parallel/pipeline.py):
+        # layer stack sharded over the "pipe" axis, front-end/head
+        # replicated, microbatched lax.scan schedule with ppermute hops.
+        from tsue_tpu.parallel.pipeline import (make_pipeline_mesh,
+                                                make_pipelined_stage1_step,
+                                                place_pipeline_params,
+                                                split_llama_layers)
+        mesh = make_pipeline_mesh(pp)
+        dp = mesh.shape["data"]
+        if cfg.train.batch_size % dp:
+            raise ValueError(f"batch_size={cfg.train.batch_size} must be "
+                             f"divisible by the data-parallel degree {dp}")
+        # clamp microbatches to the largest divisor of the per-data-shard
+        # batch (MeshConfig.microbatches is an upper bound)
+        n_micro = max(m for m in range(1, cfg.mesh.microbatches + 1)
+                      if cfg.train.batch_size % (m * dp) == 0)
+        if is_primary():
+            print(f"pipeline: pp={pp} dp={dp} microbatches={n_micro}")
+        params = place_pipeline_params(
+            dict(zip(("outer", "layers"), split_llama_layers(params, pp))),
+            mesh)
+        pinit, step, ev = make_pipelined_stage1_step(mllm, cfg, mesh, n_micro)
+        opt_state = pinit(params)
+    else:
+        tx = make_stage1_optimizer(cfg, params)
+        opt_state = tx.init(params)
+        step = jax.jit(make_stage1_train_step(mllm, tx))
+        ev = jax.jit(make_stage1_eval_step(mllm))
     n_epochs = epochs if epochs is not None else cfg.train.epochs
     tl, tn = 0.0, 0
     for epoch in range(n_epochs):
@@ -774,6 +800,12 @@ def run_stage1(cfg: ExperimentConfig, data_path: Optional[str] = None,
               for b in _batches(dva, cfg, False)]
         logger.log(epoch, lm_loss=tl / max(tn, 1),
                    val_lm_loss=float(np.mean(vl)) if vl else float("nan"))
+    if pp > 1:
+        # back to the standard per-layer tree: export artifacts and the
+        # generation path are pipeline-layout-agnostic
+        from tsue_tpu.parallel.pipeline import join_llama_layers
+        params = join_llama_layers(jax.device_get(params["outer"]),
+                                   jax.device_get(params["layers"]))
     if export_path:
         save_pytree(export_path, params)  # stage-2 consumes via import_mllm
     out = {"final_lm_loss": tl / max(tn, 1) if n_epochs else float("nan")}

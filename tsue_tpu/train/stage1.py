@@ -29,9 +29,13 @@ def stage1_freeze_label(path_strs, regime: str = "lora_only") -> str:
     return "train"
 
 
-def make_stage1_optimizer(cfg: ExperimentConfig, params):
+def make_stage1_optimizer(cfg: ExperimentConfig, params, label_fn=None):
+    """AdamW + clip + freeze-mask + NaN guard.  ``label_fn(path_strs) ->
+    "train"|"freeze"`` overrides the default stage-1 freeze rule (used by
+    the pipelined path, whose param tree has a different layout)."""
+    label_fn = label_fn or stage1_freeze_label
     labels = jax.tree_util.tree_map_with_path(
-        lambda path, _: stage1_freeze_label(
+        lambda path, _: label_fn(
             tuple(str(getattr(p, "key", p)) for p in path)),
         params)
     inner = optax.chain(
