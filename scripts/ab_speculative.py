@@ -18,7 +18,17 @@ computed and logged — bitwise only in exact arithmetic (pinned on CPU
 in tests/test_speculative.py); in bf16 the Tq=W window forward can
 flip near-tied argmaxes (see eval/speculative.py).
 
-    python scripts/ab_speculative.py [--bs 16] [--window 8]
+    python scripts/ab_speculative.py [--bs 16] [--window 8] [--sampled]
+
+``--sampled`` benches speculative SAMPLING (sample-and-match,
+eval/speculative.py) instead of greedy: "looping" uses a peaked
+temperature (0.25) over the periodic prompts — the confident/templated
+regime where acceptance = p(draft) stays high — and "wandering" uses
+the reference's full production chain (T=0.9/top-k 40/top-p 0.9/
+penalties).  Token agreement vs the plain arm is only reported for
+greedy (the sampled arms use per-row chain keys vs the plain scan's
+shared-key chain, so tokens differ by keying while the distribution is
+identical — pinned in tests/test_speculative.py).
 
 Prints one JSON line {workload: {plain_tok_s, spec_tok_s, tok_per_fwd}}.
 """
@@ -42,6 +52,8 @@ def main():
     p.add_argument("--draft-ngram", type=int, default=3)
     p.add_argument("--windows", type=int, default=3)
     p.add_argument("--iters", type=int, default=2)
+    p.add_argument("--sampled", action="store_true",
+                   help="bench speculative sampling instead of greedy")
     p.add_argument("--platform", default=None)
     args = p.parse_args()
     if args.platform:
@@ -70,13 +82,22 @@ def main():
         jnp.asarray(np.random.default_rng(1).integers(
             3, 50000, (args.bs, 8)), jnp.int32),
         (1, -(-args.prompt_len // 8)))[:, :args.prompt_len]
-    workloads = {
-        "looping": (SamplingConfig(do_sample=False, repetition_penalty=1.0,
-                                   no_repeat_ngram_size=0), loop_ids),
-        "wandering": (SamplingConfig(do_sample=False,
-                                     repetition_penalty=1.2,
-                                     no_repeat_ngram_size=3), ids),
-    }
+    if args.sampled:
+        workloads = {
+            "looping": (SamplingConfig(do_sample=True, temperature=0.25,
+                                       repetition_penalty=1.0,
+                                       no_repeat_ngram_size=0), loop_ids),
+            "wandering": (SamplingConfig(), ids),  # full HF default chain
+        }
+    else:
+        workloads = {
+            "looping": (SamplingConfig(do_sample=False,
+                                       repetition_penalty=1.0,
+                                       no_repeat_ngram_size=0), loop_ids),
+            "wandering": (SamplingConfig(do_sample=False,
+                                         repetition_penalty=1.2,
+                                         no_repeat_ngram_size=3), ids),
+        }
     key = jax.random.key(0)
     results = {}
     for name, (cfg, pids) in workloads.items():
@@ -89,14 +110,20 @@ def main():
         t0 = time.time()
         ref = np.asarray(plain(variables, vision, pids, mask, key))
         got, n_fwd = jax.block_until_ready(
-            spec(variables, vision, pids, mask))
+            spec(variables, vision, pids, mask, key))
         log(f"{name}: compiled+warm in {time.time()-t0:.1f}s")
-        # agreement is bitwise in exact arithmetic (pinned on CPU in
-        # tests); in bf16 the Tq=W window forward can differ from the
-        # Tq=1 step at ulp level and flip near-tied argmaxes (same class
-        # as the chunked-scan caveat in eval/generation.py) — report it
-        agree = float((np.asarray(got) == ref).mean())
-        log(f"{name}: token agreement vs plain {agree:.4f}")
+        if args.sampled:
+            # sampled arms use per-row chain keys; the plain scan's
+            # shared-key chain draws different tokens from the SAME
+            # distribution — agreement is not meaningful here
+            agree = None
+        else:
+            # agreement is bitwise in exact arithmetic (pinned on CPU in
+            # tests); in bf16 the Tq=W window forward can differ from the
+            # Tq=1 step at ulp level and flip near-tied argmaxes (same
+            # class as the chunked-scan caveat in eval/generation.py)
+            agree = float((np.asarray(got) == ref).mean())
+            log(f"{name}: token agreement vs plain {agree:.4f}")
         tok_per_fwd = args.max_new / float(np.asarray(n_fwd).mean())
         best = {"plain": float("inf"), "spec": float("inf")}
         for w in range(args.windows):
@@ -114,7 +141,7 @@ def main():
             "spec_tok_s": round(tok / best["spec"], 1),
             "speedup": round(best["plain"] / best["spec"], 3),
             "tok_per_fwd": round(tok_per_fwd, 2),
-            "token_agreement": round(agree, 4),
+            "token_agreement": (None if agree is None else round(agree, 4)),
         }
     print(json.dumps(results))
 

@@ -1,10 +1,13 @@
-"""Speculative greedy decoding (eval/speculative.py) exactness.
+"""Speculative decoding (eval/speculative.py) exactness.
 
-The load-bearing contract: speculative decode emits EXACTLY the tokens
-of the token-at-a-time greedy scan (eval/generation.py with
-do_sample=False) — drafts and window scoring change only how many
-forwards run, never the output.  Plus decode_window (models/fusion.py)
-must agree with sequential decode_step calls position by position.
+The load-bearing contracts: GREEDY speculative decode emits EXACTLY the
+tokens of the token-at-a-time greedy scan (eval/generation.py with
+do_sample=False); SAMPLED speculative decode (sample-and-match) emits
+EXACTLY the tokens of a token-at-a-time decode keyed by the same
+per-row split chains (`_chain_keys`, the serve_batching discipline) —
+drafts and window scoring change only how many forwards run, never the
+output.  Plus decode_window (models/fusion.py) must agree with
+sequential decode_step calls position by position.
 """
 import dataclasses
 
@@ -124,11 +127,81 @@ def test_speculative_matches_token_at_a_time_greedy(mllm_and_vars, window,
     assert (n_fwd >= 1).all() and (n_fwd <= max_new).all()
 
 
-def test_speculative_rejects_sampled_config(mllm_and_vars):
-    mllm, _ = mllm_and_vars
-    with pytest.raises(ValueError, match="greedy"):
-        make_speculative_generate_fn(mllm, SamplingConfig(do_sample=True),
-                                     8, PROMPT_LEN, eos_id=EOS)
+def _plain_chain_decode(mllm, variables, cfg, vision, ids, mask, max_new,
+                        rng, pad_id=0):
+    """Token-at-a-time sampled decode with per-row split-chain keys —
+    make_generate_fn's scan body with ``process_and_sample_per_row``
+    drawing position j from chain key j (the serve_batching discipline
+    and the distribution sampled speculation must reproduce bitwise)."""
+    from tsue_tpu.eval.speculative import _chain_keys
+    from tsue_tpu.ops.sampling import process_and_sample_per_row
+    B = ids.shape[0]
+    P = mllm.qformer.num_query_tokens + PROMPT_LEN
+    cache_len = P + max_new
+    caches, last_hidden, plen, fmask = mllm.apply(
+        variables, vision, ids, mask, cache_len, method=mllm.prefill)
+    logits = mllm.apply(
+        variables, last_hidden,
+        method=lambda m, h: m.llama_mod.logits_from_hidden(h, quant_ok=True))
+    history = jnp.concatenate(
+        [ids, jnp.full((B, max_new), pad_id, jnp.int32)], axis=1)
+    hlen = mask.sum(axis=1).astype(jnp.int32)
+    keys = _chain_keys(
+        jax.vmap(lambda i: jax.random.fold_in(rng, i))(jnp.arange(B)),
+        max_new)
+    finished = jnp.zeros((B,), bool)
+    out = []
+    for j in range(max_new):
+        tok = process_and_sample_per_row(
+            logits, keys[:, j], history, hlen, cfg).astype(jnp.int32)
+        tok = jnp.where(finished, pad_id, tok)
+        finished = finished | (tok == EOS)
+        history = history.at[jnp.arange(B), hlen].set(tok)
+        hlen = hlen + jnp.where(finished & (tok == pad_id), 0, 1)
+        out.append(tok)
+        logits, caches = mllm.apply(
+            variables, tok, jnp.full((B,), j, jnp.int32), plen, caches,
+            fmask, cache_len, method=mllm.decode_step)
+    return np.stack([np.asarray(t) for t in out], axis=1)
+
+
+SAMPLED = SamplingConfig(do_sample=True, temperature=0.9, top_k=40,
+                         top_p=0.9, repetition_penalty=1.2,
+                         no_repeat_ngram_size=3)
+
+
+@pytest.mark.parametrize("window,draft_ngram", [(2, 2), (5, 3)])
+def test_speculative_sampled_matches_chain_keyed_decode(mllm_and_vars,
+                                                        window, draft_ngram):
+    """Sample-and-match exactness: the sampled speculative output is
+    BITWISE the chain-keyed token-at-a-time decode (CPU f32) — rejected
+    window draws re-draw their position with the same key, accepted
+    drafts equal the draw by construction."""
+    mllm, variables = mllm_and_vars
+    max_new = 12
+    vision, ids, mask = _batch(4, seed=9)
+    rng = jax.random.key(21)
+    ref = _plain_chain_decode(mllm, variables, SAMPLED, vision, ids, mask,
+                              max_new, rng)
+    toks, n_fwd = make_speculative_generate_fn(
+        mllm, SAMPLED, max_new, PROMPT_LEN, eos_id=EOS, window=window,
+        draft_ngram=draft_ngram, with_stats=True)(
+            variables, vision, ids, mask, rng)
+    np.testing.assert_array_equal(
+        np.asarray(toks), ref,
+        err_msg=f"sampled speculative (W={window}) diverged from the "
+                "chain-keyed decode")
+    n_fwd = np.asarray(n_fwd)
+    assert (n_fwd >= 1).all() and (n_fwd <= max_new).all()
+
+
+def test_speculative_sampled_requires_rng(mllm_and_vars):
+    mllm, variables = mllm_and_vars
+    vision, ids, mask = _batch(2)
+    gen = make_speculative_generate_fn(mllm, SAMPLED, 8, PROMPT_LEN,
+                                       eos_id=EOS)
+    with pytest.raises(ValueError, match="rng"):
+        gen(variables, vision, ids, mask)
 
 
 def test_speculative_accepts_oracle_drafts(mllm_and_vars):

@@ -154,10 +154,13 @@ def generate_texts(mllm, variables, tokenizer, vision, prompt_ids,
                    speculative: bool = False) -> List[str]:
     """End-to-end convenience wrapper: ids in, postprocessed strings out.
 
-    ``speculative=True`` decodes with prompt-lookup speculative greedy
-    decoding (eval/speculative.py; requires cfg.do_sample=False, and a
-    ``cfg=None`` default becomes greedy automatically) — identical
-    tokens, fewer forwards on templated outputs."""
+    ``speculative=True`` decodes with prompt-lookup speculative decoding
+    (eval/speculative.py) — fewer forwards on templated outputs.  A
+    ``cfg=None`` default becomes greedy (exact same tokens as the plain
+    greedy decode); passing a ``cfg`` with ``do_sample=True`` uses exact
+    speculative SAMPLING (sample-and-match, distributionally identical
+    to token-at-a-time sampling; per-row chain keys, see the module
+    docstring)."""
     if speculative and cfg is None:
         cfg = SamplingConfig(do_sample=False)
     cfg = cfg or SamplingConfig()

@@ -1,20 +1,43 @@
-"""Speculative greedy decoding with prompt-lookup drafts.
+"""Speculative decoding (greedy AND sampled) with prompt-lookup drafts.
 
 A bs-B decode step is HBM-bound: it streams the full weight set to emit
 ONE token per row (PARITY.md decode roofline).  Speculative decoding
 emits several: draft W-1 cheap guess tokens, score all W positions in a
 single cached window forward (weights read ONCE for the whole window,
 models/fusion.py decode_window), and keep the longest prefix the model
-itself would have produced.  Output is EXACTLY the greedy decode —
+itself would have produced.
+
+Greedy (``cfg.do_sample=False``): output is EXACTLY the greedy decode —
 every emitted token is the processed-logits argmax given its prefix
 (pinned bitwise against eval/generation.py's token-at-a-time scan in
 tests/test_speculative.py); only the number of forwards changes, by the
-per-iteration acceptance rate.  Caveat shared with every program-shape
-change (see the chunking note in generation.py): in bf16 the Tq=W
-window forward can differ from the Tq=1 step at ulp level, flipping
-argmaxes among near-tied logits — measured 0.2% of tokens at the real
-1B dims (scripts/ab_speculative.py reports the agreement); both
-sequences are equally valid greedy decodes of the model.
+per-iteration acceptance rate.
+
+Sampled (``cfg.do_sample=True`` — the reference's actual generation
+semantics, T=0.9/top-k 40/top-p 0.9, ref scripts/train.py:637-642):
+because the prompt-lookup draft is DETERMINISTIC (a delta distribution),
+exact speculative sampling reduces to **sample-and-match**: draw
+``t_m ~ p_m`` at every window position with the production sampler
+(ops/sampling.py, full processor chain), accept draft ``d_{m+1}`` iff it
+equals ``t_m``, and on first mismatch emit ``t_m`` itself.  The standard
+accept-with-prob ``min(1, p/q)``-else-residual scheme degenerates to
+exactly this when q is a delta: acceptance happens with probability
+``p(d)``, and conditioned on a mismatch, ``t_m`` IS the residual
+distribution ``p(x)/(1-p(d))``.  No ratio test, no residual
+renormalization — the emitted sequence is distributed identically to
+token-at-a-time sampling.  Stronger still: draw keys are per-row
+split-CHAINS indexed by absolute output position (``_chain_keys``, the
+``serve_batching`` per-request discipline), so the output is BITWISE the
+chain-keyed plain decode's (pinned on CPU f32 in tests/test_speculative.py)
+— rejected window draws reuse their position's key on the retry, never
+skipping or double-consuming randomness.
+
+Caveat shared with every program-shape change (see the chunking note in
+generation.py): in bf16 the Tq=W window forward can differ from the Tq=1
+step at ulp level, flipping argmaxes among near-tied logits (greedy) or
+draws where a threshold is crossed (sampled) — measured 0.2% of tokens
+at the real 1B dims (scripts/ab_speculative.py reports the agreement);
+both sequences are equally valid decodes of the model.
 
 Drafts are prompt-lookup (n-gram continuation): the most recent earlier
 occurrence of the current (n-1)-token suffix proposes the next tokens.
@@ -49,7 +72,23 @@ import jax
 import jax.numpy as jnp
 
 from tsue_tpu.ops.sampling import (SamplingConfig, apply_no_repeat_ngram,
-                                   apply_repetition_penalty)
+                                   apply_repetition_penalty,
+                                   process_and_sample_per_row)
+
+
+def _chain_keys(base_keys: jax.Array, n: int) -> jax.Array:
+    """(B,) base keys -> (B, n) draw keys by per-row split chains.
+
+    Draw key j of row r is ``split(carry_j)[0]`` with ``carry_{j+1} =
+    split(carry_j)[1]`` starting from the row's base key — exactly the
+    per-request chain ``serve_batching.py`` advances one tick at a time,
+    precomputed so window draws can random-access position j's key.
+    """
+    def step(carry, _):
+        s = jax.vmap(jax.random.split)(carry)          # (B, 2) keys
+        return s[:, 1], s[:, 0]
+    _, draws = jax.lax.scan(step, base_keys, None, length=n)
+    return jnp.swapaxes(draws, 0, 1)                   # (B, n)
 
 
 def greedy_token(logits: jnp.ndarray, history: jnp.ndarray,
@@ -108,20 +147,22 @@ def make_speculative_generate_fn(mllm, cfg: SamplingConfig,
                                  eos_id: int, pad_id: int = 0,
                                  window: int = 8, draft_ngram: int = 3,
                                  with_stats: bool = False):
-    """Build a jitted (variables, vision, prompt_ids, prompt_mask) ->
-    (B, max_new_tokens) int32 GREEDY generator (same output contract as
-    make_generate_fn with cfg.do_sample=False; ``rng`` is accepted and
-    ignored so call sites can swap generators freely).
+    """Build a jitted (variables, vision, prompt_ids, prompt_mask[, rng])
+    -> (B, max_new_tokens) int32 generator (same output contract as
+    make_generate_fn).
+
+    ``cfg.do_sample=False``: exact greedy (``rng`` accepted and ignored
+    so call sites can swap generators freely).  ``cfg.do_sample=True``:
+    exact speculative SAMPLING via sample-and-match (module docstring);
+    ``rng`` is required and row r's draw for output position j uses the
+    j-th key of the split chain seeded with ``fold_in(rng, r)`` — the
+    output is bitwise the chain-keyed token-at-a-time decode's.
 
     ``window``: tokens scored per forward (1 draft fewer); ``draft_ngram``:
     the n of the suffix lookup.  ``with_stats=True`` returns
     (tokens, n_forwards (B,)) — n_forwards/tokens is the measured
     speculative win (see scripts/ab_speculative.py).
     """
-    if cfg.do_sample:
-        raise ValueError(
-            "speculative decoding is exact for greedy decoding only — "
-            "pass SamplingConfig(do_sample=False)")
     if window < 2:
         raise ValueError("window must be >= 2 (1 target + >=1 draft)")
     n_img = mllm.qformer.num_query_tokens if mllm.use_vision else 0
@@ -131,8 +172,12 @@ def make_speculative_generate_fn(mllm, cfg: SamplingConfig,
     hist_len = prompt_len + max_new_tokens + W
     out_len = max_new_tokens + W
 
+    n_keys = max_new_tokens + W      # window draws overrun by < W
+
     @jax.jit
     def generate(variables, vision, prompt_ids, prompt_mask, rng=None):
+        if cfg.do_sample and rng is None:
+            raise ValueError("sampled speculative decoding needs rng")
         B = prompt_ids.shape[0]
         rows = jnp.arange(B)
         offs = jnp.arange(W)[None, :]
@@ -149,8 +194,16 @@ def make_speculative_generate_fn(mllm, cfg: SamplingConfig,
              jnp.full((B, hist_len - prompt_len), pad_id, jnp.int32)],
             axis=1)
         hlen = prompt_mask.sum(axis=1).astype(jnp.int32)
-        next_tok = greedy_token(logits0, history, hlen, cfg
-                                ).astype(jnp.int32)
+        if cfg.do_sample:
+            keys_all = _chain_keys(
+                jax.vmap(lambda i: jax.random.fold_in(rng, i))(rows),
+                n_keys)                                # (B, n_keys)
+            next_tok = process_and_sample_per_row(
+                logits0, keys_all[:, 0], history, hlen, cfg
+            ).astype(jnp.int32)
+        else:
+            next_tok = greedy_token(logits0, history, hlen, cfg
+                                    ).astype(jnp.int32)
 
         def cond(st):
             *_, finished, _ = st
@@ -174,11 +227,28 @@ def make_speculative_generate_fn(mllm, cfg: SamplingConfig,
             # processors see only the first hlen+m+1 entries
             cols = hlen[:, None] + offs
             hist_all = history.at[rows[:, None], cols].set(wtoks)
-            g = jax.vmap(
-                lambda lg, hl: greedy_token(lg, hist_all, hl, cfg),
-                in_axes=(1, 0), out_axes=1)(
-                    logits_w, hlen[None, :] + jnp.arange(W)[:, None] + 1
-            ).astype(jnp.int32)                        # (B, W)
+            if cfg.do_sample:
+                # sample-and-match: the draw at window offset m is the
+                # token for output position step+m+1, so it uses that
+                # position's chain key — a rejected draw's position is
+                # re-drawn later with the SAME key and the fixed prefix,
+                # which is exactly the plain chain-keyed decode's draw
+                kw = keys_all[rows[:, None],
+                              jnp.clip(step[:, None] + offs + 1, 0,
+                                       n_keys - 1)]    # (B, W) keys
+                g = process_and_sample_per_row(
+                    logits_w.reshape(B * W, -1),
+                    kw.reshape(-1),
+                    jnp.repeat(hist_all, W, axis=0),
+                    (hlen[:, None] + offs + 1).reshape(-1),
+                    cfg).reshape(B, W).astype(jnp.int32)
+            else:
+                g = jax.vmap(
+                    lambda lg, hl: greedy_token(lg, hist_all, hl, cfg),
+                    in_axes=(1, 0), out_axes=1)(
+                        logits_w,
+                        hlen[None, :] + jnp.arange(W)[:, None] + 1
+                ).astype(jnp.int32)                    # (B, W)
             # accept drafts while they equal the model's own choice and
             # no EOS has been emitted (EOS can only be the final token)
             acc = (wtoks[:, 1:] == g[:, :-1]) & (wtoks[:, :-1] != eos_id)

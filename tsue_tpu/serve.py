@@ -173,13 +173,15 @@ class Predictor:
         Requires cfg.model.use_llm; runs the KV-cached sampled decoder in
         fixed ``batch_size`` chunks through a cached compiled program (no
         per-request retrace, no per-request-count shapes).
-        ``speculative=True`` uses prompt-lookup speculative GREEDY
-        decoding (eval/speculative.py) — exact greedy output, fewer
-        forwards on templated paragraphs; pass
-        ``sampling=SamplingConfig(do_sample=False, ...)`` (or leave None:
-        it is defaulted for you when speculative).  Composes with
-        ``quantize_decode=True``: both the plain steps and the
-        speculative window forwards then use the int8 weights.
+        ``speculative=True`` uses prompt-lookup speculative decoding
+        (eval/speculative.py) — fewer forwards on templated paragraphs.
+        With ``sampling=None`` it defaults to exact GREEDY output; a
+        ``sampling`` config with ``do_sample=True`` uses exact
+        speculative SAMPLING (sample-and-match: distributionally
+        identical to token-at-a-time sampling, bitwise the chain-keyed
+        plain decode).  Composes with ``quantize_decode=True``: both the
+        plain steps and the speculative window forwards then use the
+        int8 weights.
         """
         assert self.cfg.model.use_llm, "use_llm=False predictor"
         from tsue_tpu.data.text_dataset import build_track_text_dataset
