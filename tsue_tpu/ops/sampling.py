@@ -152,36 +152,43 @@ def process_and_sample(logits: jnp.ndarray, rng: jax.Array,
         logits = logits / cfg.temperature
     if 0 < cfg.top_k < logits.shape[-1]:
         k = cfg.top_k
-        B = logits.shape[0]
         slot_logits, idx, t_keep, tie_blocks = _topk_topp_slots(
             logits, k, cfg.top_p)
-        mb, bs = tie_blocks                           # (B,nb,L), (B,nb)
-        r_cat, r_tie = jax.random.split(rng)
-        choice = jax.random.categorical(r_cat, slot_logits, axis=-1)
-        # tie slot drawn -> uniform over the kept tie entries; entry j maps
-        # to the j-th tied token in index order.  Two-level select on the
-        # 128-lane block sums: find the block holding the target-th tie,
-        # then rank within that one block — no V-wide cumsum/argmax.
-        # clamp with t_keep-1, not n_tie-1: in the f32 edge where
-        # uniform*t_keep rounds up to t_keep, an n_tie clamp could pick a
-        # tied token beyond the kept top-p prefix (one HF filtered out)
-        target = jnp.minimum(
-            (jax.random.uniform(r_tie, (B,)) * t_keep).astype(jnp.int32),
-            jnp.maximum(t_keep.astype(jnp.int32) - 1, 0))
-        cum_b = jnp.cumsum(bs, axis=-1)               # (B, nb) small
-        blk = jnp.argmax(cum_b > target[:, None], axis=-1)
-        rows = jnp.arange(B)
-        before = cum_b[rows, blk] - bs[rows, blk]
-        within = (target - before)[:, None]
-        bm = mb[rows, blk]                            # (B, L) one block
-        wrank = jnp.cumsum(bm.astype(jnp.int32), axis=-1) - 1
-        off = jnp.argmax(bm & (wrank == within), axis=-1)
-        tie_tok = (blk * mb.shape[-1] + off).astype(idx.dtype)
-        from_slice = jnp.take_along_axis(
-            idx, jnp.minimum(choice, k - 1)[:, None], axis=1)[:, 0]
-        return jnp.where(choice == k, tie_tok, from_slice)
+        return _draw_sliced(slot_logits, idx, t_keep, tie_blocks, k, rng)
     logits = apply_top_p(logits, cfg.top_p)
     return jax.random.categorical(rng, logits, axis=-1)
+
+
+def _draw_sliced(slot_logits, idx, t_keep, tie_blocks, k: int,
+                 rng: jax.Array) -> jnp.ndarray:
+    """Draw next tokens from the (B, k+1) slot distribution + tie blocks
+    (``_topk_topp_slots``) with ONE shared key for the batch."""
+    B = slot_logits.shape[0]
+    mb, bs = tie_blocks                           # (B,nb,L), (B,nb)
+    r_cat, r_tie = jax.random.split(rng)
+    choice = jax.random.categorical(r_cat, slot_logits, axis=-1)
+    # tie slot drawn -> uniform over the kept tie entries; entry j maps
+    # to the j-th tied token in index order.  Two-level select on the
+    # 128-lane block sums: find the block holding the target-th tie,
+    # then rank within that one block — no V-wide cumsum/argmax.
+    # clamp with t_keep-1, not n_tie-1: in the f32 edge where
+    # uniform*t_keep rounds up to t_keep, an n_tie clamp could pick a
+    # tied token beyond the kept top-p prefix (one HF filtered out)
+    target = jnp.minimum(
+        (jax.random.uniform(r_tie, (B,)) * t_keep).astype(jnp.int32),
+        jnp.maximum(t_keep.astype(jnp.int32) - 1, 0))
+    cum_b = jnp.cumsum(bs, axis=-1)               # (B, nb) small
+    blk = jnp.argmax(cum_b > target[:, None], axis=-1)
+    rows = jnp.arange(B)
+    before = cum_b[rows, blk] - bs[rows, blk]
+    within = (target - before)[:, None]
+    bm = mb[rows, blk]                            # (B, L) one block
+    wrank = jnp.cumsum(bm.astype(jnp.int32), axis=-1) - 1
+    off = jnp.argmax(bm & (wrank == within), axis=-1)
+    tie_tok = (blk * mb.shape[-1] + off).astype(idx.dtype)
+    from_slice = jnp.take_along_axis(
+        idx, jnp.minimum(choice, k - 1)[:, None], axis=1)[:, 0]
+    return jnp.where(choice == k, tie_tok, from_slice)
 
 
 def process_and_sample_per_row(logits: jnp.ndarray, keys: jax.Array,
@@ -195,12 +202,39 @@ def process_and_sample_per_row(logits: jnp.ndarray, keys: jax.Array,
     batch position.  Serving needs the opposite: with per-request keys a
     request's generated tokens are REPRODUCIBLE regardless of which slot
     it lands in or what shares the batch (continuous batching,
-    serve_batching.py — pinned by tests/test_serve_batching.py).  vmap
-    over rows of the exact batched chain keeps the semantics identical.
+    serve_batching.py; the sampled speculative window scorer,
+    eval/speculative.py — pinned by tests/test_serve_batching.py and
+    tests/test_speculative.py).
+
+    Performance: every key-free V-wide stage (penalties, ngram ban, the
+    top-k/top-p slot machinery) runs BATCHED over all rows — vmapping
+    those lowers to per-row (1, V) top-k calls, measured 2.6x slower than
+    the plain decode in the W=8 speculative scorer.  Only the draw from
+    the tiny (k+1)-slot distribution is vmapped, with each row's draw
+    shaped (1, k+1) so the bits consumed from a given key are EXACTLY the
+    single-row ``process_and_sample`` call's (same key, same shape): the
+    per-request reproducibility contract is unchanged.
     """
-    fn = lambda l, k, h, n: process_and_sample(
-        l[None], k, h[None], n[None], cfg)[0]
-    return jax.vmap(fn)(logits, keys, token_history, history_len)
+    logits = logits.astype(jnp.float32)
+    logits = apply_repetition_penalty(logits, token_history, history_len,
+                                      cfg.repetition_penalty)
+    logits = apply_no_repeat_ngram(logits, token_history, history_len,
+                                   cfg.no_repeat_ngram_size)
+    if not cfg.do_sample:
+        return jnp.argmax(logits, axis=-1)
+    if cfg.temperature != 1.0:
+        logits = logits / cfg.temperature
+    if 0 < cfg.top_k < logits.shape[-1]:
+        k = cfg.top_k
+        slot_logits, idx, t_keep, (mb, bs) = _topk_topp_slots(
+            logits, k, cfg.top_p)
+        draw = lambda sl, ix, tk, m, b, ky: _draw_sliced(
+            sl[None], ix[None], tk[None], (m[None], b[None]), k, ky)[0]
+        return jax.vmap(draw)(slot_logits, idx, t_keep, mb, bs, keys)
+    logits = apply_top_p(logits, cfg.top_p)
+    return jax.vmap(
+        lambda l, ky: jax.random.categorical(ky, l[None], axis=-1)[0]
+    )(logits, keys)
 
 
 _TIE_LANES = 128
