@@ -17,9 +17,16 @@ startup (every request is a fixed-shape device call, no retracing):
     #                          {"results": [{track_id, past_pixel_xy,
     #                            pred_pixel_xy[, candidates_pixel_xy]}]}
     # POST /generate           {"tracks": [...], "max_new_tokens": N} ->
-    #                          {"results": [{track_id, context}]}
-    #                          (N clamped to --max-new-tokens: distinct
-    #                           values compile distinct programs)
+    #                          {"results": [{track_id, context} |
+    #                            {track_id, error}]}
+    #                          (N clamped to --max-new-tokens and served
+    #                           by trimming the single program compiled
+    #                           at that cap — client values never compile)
+    #
+    # Tracks that produce no result row (all windows filtered) are listed
+    # in "dropped_track_ids"; generation serves tracks WITHOUT
+    # context_str (the context is the output) and returns explicit
+    # per-track error records for ones the model cannot condition.
 
 Track dicts use the all_data.pkl schema (SURVEY §2.1 D1):
 raw_trajectory (N,2), vision_embeddings (N,vision_dim), context_str,
@@ -75,6 +82,16 @@ def _load_tracks(args, cfg):
                                  seed=cfg.data.split_seed)
 
 
+def _track_id(t):
+    """Same track-id coercion the ingest paths use (schema D1: track_id
+    with id fallback, -1 when unparseable)."""
+    tid = t.get("track_id", t.get("id", -1))
+    try:
+        return int(tid)
+    except (TypeError, ValueError):
+        return -1
+
+
 def _coerce_tracks(raw):
     """JSON track dicts -> numpy-backed dicts (HTTP request bodies)."""
     import numpy as np
@@ -124,25 +141,36 @@ def _serve_http(args, predictor):
                     if self.path == "/predict":
                         res = predictor.predict(tracks)
                     elif self.path == "/generate":
-                        # clamp to the startup cap: each distinct value
-                        # compiles a program (Predictor bounds its caches,
-                        # but an unclamped client-controlled knob would
-                        # still churn compiles)
+                        # clamp to the startup cap and decode THROUGH the
+                        # one program compiled at that cap (compile_cap),
+                        # trimming the rows: a client-sent value must
+                        # never trigger an XLA compile inside the request
+                        # handler (minutes at 1B scale, under the lock)
                         mnt = max(1, min(int(req.get("max_new_tokens",
                                               args.max_new_tokens)),
                                          args.max_new_tokens))
                         if args.batcher == "continuous":
                             res = predictor.generate_context_batched(
-                                tracks, max_new_tokens=mnt)
+                                tracks, max_new_tokens=mnt,
+                                compile_cap=args.max_new_tokens)
                         else:
                             res = predictor.generate_context(
                                 tracks, max_new_tokens=mnt,
-                                speculative=args.speculative)
+                                speculative=args.speculative,
+                                compile_cap=args.max_new_tokens)
                     else:
                         self._reply(404,
                                     {"error": f"unknown path {self.path}"})
                         return
-                self._reply(200, {"results": [_jsonable(r) for r in res]})
+                payload = {"results": [_jsonable(r) for r in res]}
+                # tracks that produced no result row (e.g. /predict
+                # windows all filtered out) are reported, never silent
+                got = {r.get("track_id") for r in res}
+                dropped = [t for t in (_track_id(x) for x in tracks)
+                           if t not in got]
+                if dropped:
+                    payload["dropped_track_ids"] = dropped
+                self._reply(200, payload)
             except Exception as e:                      # noqa: BLE001
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 

@@ -124,7 +124,8 @@ def test_pipelined_step_matches_single_device_step(mllm_and_data):
     pp_params = place_pipeline_params(
         dict(zip(("outer", "layers"), split_llama_layers(params, 4))), mesh)
     init, pstep, pev = make_pipelined_stage1_step(mllm, cfg, mesh,
-                                                  num_microbatches=2)
+                                                  num_microbatches=2,
+                                                  pp_params=pp_params)
     opt_state = init(pp_params)
     pp_after, _, m_pp = pstep(pp_params, opt_state, batch, jax.random.key(3))
     # dropout is disabled in this fixture, so train-mode losses agree too
@@ -161,7 +162,8 @@ def test_pipelined_eval_step_deterministic(mllm_and_data):
     pp_params = place_pipeline_params(
         dict(zip(("outer", "layers"), split_llama_layers(params, 4))), mesh)
     _, _, pev = make_pipelined_stage1_step(mllm, cfg, mesh,
-                                           num_microbatches=2)
+                                           num_microbatches=2,
+                                           pp_params=pp_params)
     a = float(pev(pp_params, batch)["lm_loss"])
     b = float(pev(pp_params, batch)["lm_loss"])
     assert a == b

@@ -270,6 +270,60 @@ def test_generation_program_cached_and_bounded():
     assert len(p._batchers) <= p._cache_max
 
 
+def test_generate_serves_promptonly_and_reports_unconditionable():
+    """Generation must not require the field being generated: a track
+    without context_str gets a generated context; a track a
+    vision-conditioned model cannot condition (no vision_embeddings)
+    comes back as an explicit {track_id, error} record — one result per
+    request track, never a silent drop."""
+    p = _tiny_llm_predictor()
+    base = dict(make_synthetic_tracks(num_tracks=1, track_len=300,
+                                      seed=9)[0])
+    no_ctx = dict(base)
+    no_ctx.pop("context_str", None)
+    no_ctx["track_id"] = 101
+    no_vis = dict(base)
+    no_vis.pop("vision_embeddings", None)
+    no_vis["track_id"] = 102
+    out = p.generate_context([no_ctx, no_vis], max_new_tokens=4)
+    assert len(out) == 2
+    by_id = {r["track_id"]: r for r in out}
+    assert isinstance(by_id[101]["context"], str)
+    assert "error" in by_id[102] and "vision" in by_id[102]["error"]
+    # same contract through the continuous batcher
+    out_b = p.generate_context_batched([no_ctx, no_vis], max_new_tokens=4,
+                                       num_slots=2, chunk=2)
+    by_id_b = {r["track_id"]: r for r in out_b}
+    assert isinstance(by_id_b[101]["context"], str)
+    assert "error" in by_id_b[102]
+
+
+def test_compile_cap_trims_without_recompiling():
+    """compile_cap: every max_new_tokens <= cap is served by trimming the
+    ONE program compiled at the cap (a client-controlled knob must never
+    trigger an XLA compile in the request path), and greedy outputs are
+    prefixes of the capped decode."""
+    from tsue_tpu.ops.sampling import SamplingConfig
+    p = _tiny_llm_predictor()
+    tracks = make_synthetic_tracks(num_tracks=2, track_len=300, seed=9)
+    greedy = SamplingConfig(do_sample=False)
+    full = p.generate_context(tracks, max_new_tokens=6, compile_cap=6,
+                              sampling=greedy)
+    for mnt in (1, 3, 6):
+        out = p.generate_context(tracks, max_new_tokens=mnt, compile_cap=6,
+                                 sampling=greedy)
+        for r, f in zip(out, full):
+            assert f["context"].startswith(r["context"])
+    assert len(p._generators) == 1
+    # batched path: one batcher per cap, not per requested value
+    for mnt in (2, 4, 5):
+        out_b = p.generate_context_batched(tracks, max_new_tokens=mnt,
+                                           compile_cap=6, num_slots=2,
+                                           chunk=2)
+        assert len(out_b) == 2
+    assert len(p._batchers) == 1
+
+
 def test_prepare_generation_precompiles():
     """prepare_generation at startup compiles the same cache entry a real
     request uses (the HTTP server's 'compiled once at startup' contract)."""

@@ -51,20 +51,33 @@ class TrackTextDataset:
 
 def build_track_text_dataset(tracks: Sequence[dict], cfg: DataConfig,
                              tokenizer, max_frames: int = 64,
-                             max_length: Optional[int] = None
+                             max_length: Optional[int] = None,
+                             require_context: bool = True,
+                             require_vision: bool = True
                              ) -> TrackTextDataset:
-    """One row per track with context; downsampled whole-track vision."""
+    """One row per track with context; downsampled whole-track vision.
+
+    Training ingest (the defaults) mirrors ``VisionTextDataset``: tracks
+    without a context answer or vision embeddings are skipped (ref
+    scripts/check_generation.py:233-244).  Serving-side GENERATION only
+    needs the prompt — the context is the output, not an input — so the
+    Predictor passes ``require_context=False`` (empty answer span, all
+    labels ignored) and ``require_vision=False`` (missing embeddings
+    become zero frames with ``vision_len`` 0; vision-conditioned serving
+    rejects those tracks explicitly before calling this, serve.py)."""
     max_length = max_length or cfg.max_length
     rows = {k: [] for k in ("vision", "vision_len", "input_ids",
                             "attention_mask", "labels", "track_id")}
     texts = []
     for item in tracks:
-        ctx = item.get("context_str", "")
-        if not ctx.strip():
+        ctx = item.get("context_str", "") or ""
+        if require_context and not ctx.strip():
             continue
         vis = item.get("vision_embeddings")
         if vis is None:
-            continue
+            if require_vision:
+                continue
+            vis = np.zeros((0, cfg.vision_dim), np.float32)
         vis = np.asarray(vis, dtype=np.float32)[::cfg.downsample]
         n = min(vis.shape[0], max_frames)
         fixed = np.zeros((max_frames, vis.shape[1]), np.float32)

@@ -71,8 +71,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from tsue_tpu.ops.sampling import (SamplingConfig, apply_no_repeat_ngram,
-                                   apply_repetition_penalty,
+from tsue_tpu.ops.sampling import (SamplingConfig,
                                    process_and_sample_per_row)
 
 
@@ -94,15 +93,16 @@ def _chain_keys(base_keys: jax.Array, n: int) -> jax.Array:
 def greedy_token(logits: jnp.ndarray, history: jnp.ndarray,
                  history_len: jnp.ndarray, cfg: SamplingConfig
                  ) -> jnp.ndarray:
-    """Processed-logits argmax — the do_sample=False arm of
-    ops/sampling.py process_and_sample (temperature/top-k/top-p do not
-    move an argmax, HF semantics)."""
-    l = logits.astype(jnp.float32)
-    l = apply_repetition_penalty(l, history, history_len,
-                                 cfg.repetition_penalty)
-    l = apply_no_repeat_ngram(l, history, history_len,
-                              cfg.no_repeat_ngram_size)
-    return jnp.argmax(l, axis=-1)
+    """Processed-logits argmax, delegated to the production per-row chain
+    (ops/sampling.py process_and_sample_per_row, do_sample=False arm —
+    temperature/top-k/top-p do not move an argmax, HF semantics).  One
+    implementation, so the speculative verifier can never drift from the
+    plain decode's greedy processing order; the keys argument is unused
+    on the greedy arm."""
+    dummy_keys = jnp.zeros((logits.shape[0],), jnp.uint32)
+    return process_and_sample_per_row(logits, dummy_keys, history,
+                                      history_len,
+                                      cfg._replace(do_sample=False))
 
 
 def ngram_draft(history: jnp.ndarray, history_len: jnp.ndarray,

@@ -287,15 +287,16 @@ def _pp_freeze_label(path_strs, regime: str) -> str:
 
 
 def make_pipelined_stage1_step(mllm, cfg: ExperimentConfig, mesh: Mesh,
-                               num_microbatches: int,
+                               num_microbatches: int, pp_params: Dict,
                                regime: str = "lora_only"):
     """(init, train_step, eval_step) for the pipelined stage-1 fine-tune.
 
-    ``opt_state = init(pp_params)`` must run first (it builds the
-    freeze-masked optimizer for the pipeline param layout);
-    ``train_step(pp_params, opt_state, batch, rng)`` then mirrors
-    train/stage1.py's step contract on that layout
-    ({"outer": ..., "layers": ...} from :func:`split_llama_layers`).
+    ``pp_params`` (the {"outer": ..., "layers": ...} layout from
+    :func:`split_llama_layers`) is consumed at factory time to build the
+    freeze-masked optimizer eagerly — no init-before-train_step ordering
+    contract; ``init(pp_params)`` just returns the optimizer state.
+    ``train_step(pp_params, opt_state, batch, rng)`` mirrors
+    train/stage1.py's step contract on the pipeline layout.
     """
     import optax
 
@@ -305,15 +306,11 @@ def make_pipelined_stage1_step(mllm, cfg: ExperimentConfig, mesh: Mesh,
                                         deterministic=False)
     loss_eval = make_pipelined_lm_loss(mllm, mesh, num_microbatches,
                                        deterministic=True)
-
-    tx_box = {}
+    tx = make_stage1_optimizer(
+        cfg, pp_params,
+        label_fn=lambda path_strs: _pp_freeze_label(path_strs, regime))
 
     def train_step(pp_params, opt_state, batch: Dict, rng):
-        if "tx" not in tx_box:
-            raise RuntimeError(
-                "make_pipelined_stage1_step: call init(pp_params) before "
-                "train_step (it builds the freeze-masked optimizer)")
-        tx = tx_box["tx"]
         loss, grads = jax.value_and_grad(loss_train)(pp_params, batch, rng)
         updates, opt_state = tx.update(grads, opt_state, pp_params)
         pp_params = optax.apply_updates(pp_params, updates)
@@ -322,10 +319,4 @@ def make_pipelined_stage1_step(mllm, cfg: ExperimentConfig, mesh: Mesh,
     def eval_step(pp_params, batch: Dict):
         return {"lm_loss": loss_eval(pp_params, batch, jax.random.key(0))}
 
-    def init(pp_params):
-        tx_box["tx"] = make_stage1_optimizer(
-            cfg, pp_params,
-            label_fn=lambda path_strs: _pp_freeze_label(path_strs, regime))
-        return tx_box["tx"].init(pp_params)
-
-    return init, jax.jit(train_step), jax.jit(eval_step)
+    return tx.init, jax.jit(train_step), jax.jit(eval_step)

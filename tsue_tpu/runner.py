@@ -775,7 +775,8 @@ def run_stage1(cfg: ExperimentConfig, data_path: Optional[str] = None,
         params = place_pipeline_params(
             dict(zip(("outer", "layers"), split_llama_layers(params, pp))),
             mesh)
-        pinit, step, ev = make_pipelined_stage1_step(mllm, cfg, mesh, n_micro)
+        pinit, step, ev = make_pipelined_stage1_step(mllm, cfg, mesh,
+                                                     n_micro, params)
         opt_state = pinit(params)
     else:
         tx = make_stage1_optimizer(cfg, params)

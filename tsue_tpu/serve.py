@@ -163,11 +163,38 @@ class Predictor:
 
         return self._cache_get(self._generators, key, build)
 
+    def _generation_tracks(self, tracks: Sequence[dict]):
+        """Split tracks into (usable, error records) for generation.
+
+        Generation needs only a track identity (+ vision embeddings when
+        the model is vision-conditioned): ``context_str`` is the OUTPUT,
+        not a requirement — unlike training ingest, which skips such
+        tracks.  Tracks the model cannot condition (vision model, no
+        embeddings) come back as explicit per-track error records so a
+        client always gets one result per request track, never a silent
+        drop."""
+        ok, errs = [], []
+        need_vision = self.cfg.model.use_vision
+        for t in tracks:
+            tid = t.get("track_id", t.get("id", -1))
+            try:
+                tid = int(tid)
+            except (TypeError, ValueError):
+                tid = -1
+            if need_vision and t.get("vision_embeddings") is None:
+                errs.append({"track_id": tid, "error":
+                             "missing vision_embeddings "
+                             "(model is vision-conditioned)"})
+            else:
+                ok.append(t)
+        return ok, errs
+
     def generate_context(self, tracks: Sequence[dict],
                          max_new_tokens: int = 64,
                          rng: Optional[jax.Array] = None,
                          sampling=None,
-                         speculative: bool = False) -> List[Dict]:
+                         speculative: bool = False,
+                         compile_cap: Optional[int] = None) -> List[Dict]:
         """Generate traffic-context text per track (stage-1 capability).
 
         Requires cfg.model.use_llm; runs the KV-cached sampled decoder in
@@ -182,17 +209,31 @@ class Predictor:
         plain decode).  Composes with ``quantize_decode=True``: both the
         plain steps and the speculative window forwards then use the
         int8 weights.
+
+        ``compile_cap``: compile (and cache) the program at this length
+        and trim the emitted rows to ``max_new_tokens`` — a long-running
+        server pins one cap at startup and serves EVERY shorter request
+        from that single program instead of compiling per distinct value
+        (multi-minute XLA compiles at 1B scale).  Greedy/speculative
+        output prefixes are exact; sampled draws carry the usual
+        program-shape caveat (eval/generation.py chunking note).
+        Tracks without ``context_str`` are served (the context is the
+        output); tracks a vision-conditioned model cannot condition come
+        back as ``{"track_id", "error"}`` records.
         """
         assert self.cfg.model.use_llm, "use_llm=False predictor"
         from tsue_tpu.data.text_dataset import build_track_text_dataset
         from tsue_tpu.eval.generation import trim_and_decode
-        ds = build_track_text_dataset(tracks, self.cfg.data, self.tokenizer)
+        tracks, errs = self._generation_tracks(tracks)
+        ds = build_track_text_dataset(tracks, self.cfg.data, self.tokenizer,
+                                      require_context=False,
+                                      require_vision=False)
         n = len(ds)
         if n == 0:
-            return []
+            return errs
         rng = rng if rng is not None else jax.random.key(0)
-        gen, variables = self._generation_fn(max_new_tokens, speculative,
-                                             sampling)
+        cap = max(compile_cap or max_new_tokens, max_new_tokens)
+        gen, variables = self._generation_fn(cap, speculative, sampling)
         # prompt-only conditioning: mask the answer span out
         prompt_mask = np.asarray(ds.attention_mask * (ds.labels == -100),
                                  np.int32)
@@ -206,11 +247,11 @@ class Predictor:
                       jnp.asarray(prompt_ids[sel]),
                       jnp.asarray(prompt_mask[sel]),
                       jax.random.fold_in(rng, s))
-            rows.append(np.asarray(out)[:len(idx)])
+            rows.append(np.asarray(out)[:len(idx), :max_new_tokens])
         texts = [trim_and_decode(row, self.tokenizer)
                  for row in np.concatenate(rows)]
         return [{"track_id": int(t), "context": txt}
-                for t, txt in zip(ds.track_id, texts)]
+                for t, txt in zip(ds.track_id, texts)] + errs
 
     def prepare_generation(self, max_new_tokens: int = 64,
                            speculative: bool = False, sampling=None,
@@ -238,34 +279,41 @@ class Predictor:
                                  rng: Optional[jax.Array] = None,
                                  sampling=None,
                                  num_slots: Optional[int] = None,
-                                 chunk: int = 8) -> List[Dict]:
+                                 chunk: int = 8,
+                                 compile_cap: Optional[int] = None
+                                 ) -> List[Dict]:
         """``generate_context`` through the ContinuousBatcher slot pool.
 
         Same request semantics (prompt-only conditioning, per-track
-        results) but scheduled with continuous refill — the serving path
-        for mixed-length traffic.  Per-request fold_in keys make each
-        track's output independent of co-batched traffic
+        results, ``compile_cap`` trimming, explicit error records for
+        unconditionable tracks) but scheduled with continuous refill —
+        the serving path for mixed-length traffic.  Per-request fold_in
+        keys make each track's output independent of co-batched traffic
         (tests/test_serve_batching.py pins batcher == single-request
         decodes)."""
         assert self.cfg.model.use_llm, "use_llm=False predictor"
         from tsue_tpu.data.text_dataset import build_track_text_dataset
         from tsue_tpu.eval.generation import postprocess_text
-        ds = build_track_text_dataset(tracks, self.cfg.data, self.tokenizer)
+        tracks, errs = self._generation_tracks(tracks)
+        ds = build_track_text_dataset(tracks, self.cfg.data, self.tokenizer,
+                                      require_context=False,
+                                      require_vision=False)
         if len(ds) == 0:
-            return []
+            return errs
+        cap = max(compile_cap or max_new_tokens, max_new_tokens)
         prompt_mask = np.asarray(ds.attention_mask * (ds.labels == -100),
                                  np.int32)
         prompt_ids = np.asarray(ds.input_ids, np.int32) * prompt_mask
         # reuse one batcher per pool shape: its jitted programs are
         # closures, so a fresh instance per request would retrace
         key = (num_slots or self.batch_size, prompt_ids.shape[1],
-               max_new_tokens, chunk, repr(sampling))
+               cap, chunk, repr(sampling))
         batcher = self._cache_get(
             self._batchers, key,
             lambda: self.continuous_batcher(
                 num_slots=num_slots or self.batch_size,
                 prompt_len=prompt_ids.shape[1],
-                max_new_tokens=max_new_tokens, chunk=chunk,
+                max_new_tokens=cap, chunk=chunk,
                 sampling=sampling))
         base = rng if rng is not None else jax.random.key(0)
         reqs = []
@@ -276,11 +324,11 @@ class Predictor:
                 r["vision"] = np.asarray(ds.vision[i])
             reqs.append(r)
         texts = [postprocess_text(
-            self.tokenizer.decode([int(t) for t in row
+            self.tokenizer.decode([int(t) for t in row[:max_new_tokens]
                                    if t != self.tokenizer.pad_id]))
             for row in batcher.run(reqs)]
         return [{"track_id": int(t), "context": txt}
-                for t, txt in zip(ds.track_id, texts)]
+                for t, txt in zip(ds.track_id, texts)] + errs
 
     def continuous_batcher(self, num_slots: int = 16,
                            prompt_len: Optional[int] = None,
