@@ -62,7 +62,9 @@ def add_roi_args(p: argparse.ArgumentParser) -> None:
     """--roi/--site/--zone for the lane-ROI viz CLIs (graph.py, plot.py)."""
     p.add_argument("--roi", default=None,
                    help="lane-ROI table: reference graph.py-format .py, "
-                        ".json, or .pkl (overrides the data/synthetic ROI)")
+                        ".json, or .pkl; the literal 'synthetic' selects "
+                        "the parametric stand-in (default: --data's table, "
+                        "else the vendored Site-C reference table)")
     p.add_argument("--site", default=None,
                    help="site key in the ROI table (default: auto when the "
                         "table has exactly one site, else an error listing "
@@ -71,14 +73,20 @@ def add_roi_args(p: argparse.ArgumentParser) -> None:
 
 
 def resolve_roi(args):
-    """ROI source precedence: --roi table > --data pickle > synthetic."""
+    """ROI source precedence: --roi table > --data pickle > the vendored
+    Site-C reference table (ref scripts/graph.py:7-216), so the viz CLIs
+    reproduce the reference map with zero flags.  ``--roi synthetic``
+    selects the parametric stand-in."""
     from tsue_tpu.data.schema import (load_lane_roi, load_tracks,
+                                      load_vendored_lane_roi,
                                       make_synthetic_lane_roi)
+    if args.roi == "synthetic":
+        return make_synthetic_lane_roi()
     if args.roi:
         return load_lane_roi(args.roi)
     if args.data:
         return load_tracks(args.data)[0]["lane_roi"]
-    return make_synthetic_lane_roi()
+    return load_vendored_lane_roi()
 
 
 def apply_overrides(cfg, args):

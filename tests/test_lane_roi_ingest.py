@@ -140,6 +140,28 @@ def test_site_zone_selection_never_silently_empty(tmp_path):
     assert os.path.exists(out2)
 
 
+def test_vendored_site_c_table_golden(tmp_path):
+    """The vendored Site-C table (package data, ref scripts/graph.py:7-216)
+    carries the reference's exact 7 polygons — golden-pinned point counts
+    plus spot coordinates — and renders with zero flags (the graph.py CLI's
+    default path)."""
+    from tsue_tpu.data.schema import load_vendored_lane_roi
+    from tsue_tpu.viz import plot_lane_roi_map
+
+    roi = load_vendored_lane_roi()
+    assert set(roi) == {"Site C"}
+    assert set(roi["Site C"]) == {"A"}
+    lanes = roi["Site C"]["A"]
+    assert {k: len(v) for k, v in lanes.items()} == {
+        "1": 33, "2": 32, "3": 22, "4": 36, "5": 39, "6": 14, "safe": 14}
+    # spot values straight from the reference table
+    np.testing.assert_allclose(lanes["1"][0], [0.0, 962.3529411764706])
+    np.testing.assert_allclose(lanes["safe"][-1],
+                               [2853.75191424196, 1118.9739663093414])
+    out = plot_lane_roi_map(roi, str(tmp_path))  # default Site C / A keys
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
 def test_synthetic_roi_passes_validation(tmp_path):
     """The parametric fixture is itself a valid table in the same schema."""
     roi = make_synthetic_lane_roi()

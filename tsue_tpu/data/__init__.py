@@ -10,6 +10,7 @@ from tsue_tpu.data.tokenizer import ByteTokenizer, get_tokenizer
 from tsue_tpu.data.schema import (
     split_tracks,
     load_lane_roi,
+    load_vendored_lane_roi,
     make_synthetic_tracks,
     make_synthetic_lane_roi,
 )

@@ -5,11 +5,12 @@ keys ``raw_trajectory`` (N,2 float pixel coords), ``vision_embeddings``
 (N,512), ``context_str`` (natural-language description), ``lane_roi`` (nested
 polygon dict {"Site C": {"A": {"1".."6","safe": [[x,y],...]}}}), ``track_id``.
 
-The reference's lane-ROI coordinate table is site-specific survey data
-(ref scripts/graph.py:7-216) that normally arrives inside the pickle; instead
-of embedding those coordinates we generate a parametric highway lane map with
-the same structure for fixtures/visualization, and accept user ROI dicts
-everywhere.
+The reference's Site-C lane-ROI coordinate table (ref scripts/graph.py:7-216,
+7 polygons: lanes "1".."6" + "safe") is vendored as constant package data in
+``site_c_lane_roi.json`` and loaded by :func:`load_vendored_lane_roi`, so the
+viz CLIs reproduce the reference map with zero flags.  A parametric stand-in
+(:func:`make_synthetic_lane_roi`) remains for fixtures, and user ROI dicts
+are accepted everywhere.
 
 The reference splits with an UNSEEDED in-place shuffle per rank
 (ref scripts/train.py:31-39) — rank divergence hazard.  We use the seeded
@@ -97,6 +98,20 @@ def load_lane_roi(path: str) -> Dict:
         raise ValueError(f"unsupported lane-ROI format: {path} "
                          "(want .py/.json/.pkl)")
     _validate_lane_roi(roi, path)
+    return roi
+
+
+def load_vendored_lane_roi() -> Dict:
+    """The reference's Site-C lane-ROI table (ref scripts/graph.py:7-216),
+    vendored as package data (constant survey coordinates: 7 polygons under
+    {"Site C": {"A": ...}} — lanes "1".."6" plus the "safe" zone)."""
+    import json
+    from pathlib import Path
+
+    path = Path(__file__).with_name("site_c_lane_roi.json")
+    with open(path) as f:
+        roi = json.load(f)
+    _validate_lane_roi(roi, str(path))
     return roi
 
 

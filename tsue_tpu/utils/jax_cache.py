@@ -1,11 +1,17 @@
-"""Persistent-compile-cache location, fingerprinted by host CPU.
+"""Persistent-compile-cache location, fingerprinted by host + toolchain.
 
 XLA:CPU AOT executables encode target machine features; /tmp persists
 across build rounds whose hosts differ, and loading a cache entry compiled
 for another machine risks SIGILL (observed: cpu_aot_loader "machine type
-doesn't match" errors).  Keying the cache dir by the /proc/cpuinfo flags
-set makes reuse safe: same machine -> same dir, different machine -> fresh
-dir.  Deliberately imports nothing that could initialize a JAX backend.
+doesn't match" errors).  /proc/cpuinfo flags alone proved insufficient —
+XLA's LLVM target-feature string (e.g. ``+prefer-no-gather``) is chosen by
+jaxlib's bundled LLVM from the *model* of CPU, not the flag set, so two
+hosts with identical flags can still produce incompatible AOT entries
+(seen as a tail of cpu_aot_loader mismatch errors in MULTICHIP_r03).  The
+fingerprint therefore includes the cpuinfo flags, the exact CPU model
+name, and the jax/jaxlib versions; any of them changing rotates to a
+fresh dir.  Deliberately imports nothing that could initialize a JAX
+backend (importlib.metadata reads the dist-info, not the package).
 """
 from __future__ import annotations
 
@@ -14,15 +20,31 @@ import platform
 
 
 def _cpu_fingerprint() -> str:
+    parts = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
-                    return hashlib.md5(flags.encode()).hexdigest()[:10]
+                if line.startswith("flags") and not any(
+                        p.startswith("flags=") for p in parts):
+                    parts.append("flags=" + " ".join(
+                        sorted(line.split(":", 1)[1].split())))
+                elif line.startswith("model name") and not any(
+                        p.startswith("model=") for p in parts):
+                    parts.append(
+                        "model=" + line.split(":", 1)[1].strip())
     except OSError:
         pass
-    return hashlib.md5(platform.processor().encode()).hexdigest()[:10]
+    if not parts:
+        parts.append("proc=" + platform.processor())
+    # jax/jaxlib version: the AOT serialization format and the bundled
+    # LLVM both change with jaxlib, so never share a dir across versions.
+    try:
+        from importlib.metadata import version
+        parts.append(f"jax={version('jax')}+jaxlib={version('jaxlib')}")
+    except Exception:  # pragma: no cover - metadata always present here
+        pass
+    parts.append("machine=" + platform.machine())
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
 
 
 def cache_dir() -> str:
