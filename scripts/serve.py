@@ -152,7 +152,8 @@ def _serve_http(args, predictor):
                         if args.batcher == "continuous":
                             res = predictor.generate_context_batched(
                                 tracks, max_new_tokens=mnt,
-                                compile_cap=args.max_new_tokens)
+                                compile_cap=args.max_new_tokens,
+                                speculative=args.speculative)
                         else:
                             res = predictor.generate_context(
                                 tracks, max_new_tokens=mnt,
@@ -164,10 +165,19 @@ def _serve_http(args, predictor):
                         return
                 payload = {"results": [_jsonable(r) for r in res]}
                 # tracks that produced no result row (e.g. /predict
-                # windows all filtered out) are reported, never silent
-                got = {r.get("track_id") for r in res}
-                dropped = [t for t in (_track_id(x) for x in tracks)
-                           if t not in got]
+                # windows all filtered out) are reported, never silent.
+                # Count occurrences per id: two request tracks sharing an
+                # id (or several unparseable ids coercing to -1) must not
+                # mask a genuinely dropped track whose id also appears in
+                # a served result
+                from collections import Counter
+                got = Counter(r.get("track_id") for r in res)
+                dropped = []
+                for t in (_track_id(x) for x in tracks):
+                    if got[t] > 0:
+                        got[t] -= 1
+                    else:
+                        dropped.append(t)
                 if dropped:
                     payload["dropped_track_ids"] = dropped
                 self._reply(200, payload)
@@ -200,7 +210,9 @@ def main():
     p.add_argument("--quantize-decode", action="store_true")
     p.add_argument("--speculative", action="store_true",
                    help="prompt-lookup speculative greedy decoding for "
-                        "/generate and --generate (static batcher only)")
+                        "/generate and --generate; composes with "
+                        "--batcher continuous (window mode, bitwise the "
+                        "plain pool's output)")
     p.add_argument("--batcher", default="static",
                    choices=("static", "continuous"),
                    help="generation scheduling: static batches or the "
@@ -236,7 +248,8 @@ def main():
     if args.generate:
         if args.batcher == "continuous":
             results = predictor.generate_context_batched(
-                tracks, max_new_tokens=args.max_new_tokens)
+                tracks, max_new_tokens=args.max_new_tokens,
+                speculative=args.speculative)
         else:
             results = predictor.generate_context(
                 tracks, max_new_tokens=args.max_new_tokens,

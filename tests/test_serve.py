@@ -337,3 +337,73 @@ def test_prepare_generation_precompiles():
     assert p._generators[next(iter(p._generators))] is gen
     p.prepare_generation(max_new_tokens=4, batched=True)
     assert len(p._batchers) == 1
+
+
+def test_prompt_bucketing_output_neutral_and_cached_per_bucket():
+    """DataConfig.length_buckets on the serve path: prompts are trimmed
+    to the smallest covering bucket (only all-pad tail positions drop),
+    the generated text is IDENTICAL to the unbucketed predictor's, and
+    the compiled program is keyed by the bucket width."""
+    import dataclasses
+    p = _tiny_llm_predictor(max_length=640)   # preset default buckets
+    assert p.cfg.data.length_buckets == (256, 384, 512)
+    cfg_off = dataclasses.replace(
+        p.cfg, data=dataclasses.replace(p.cfg.data, length_buckets=()))
+    p_off = Predictor(cfg_off, p.params, batch_size=2)
+    tracks = make_synthetic_tracks(num_tracks=3, track_len=300, seed=9)
+    out = p.generate_context(tracks, max_new_tokens=5)
+    ref = p_off.generate_context(tracks, max_new_tokens=5)
+    assert [r["context"] for r in out] == [r["context"] for r in ref]
+    # the byte-tokenized prompt (~435 tokens) picks the 512 bucket
+    widths = {k[-1] for k in p._generators}
+    assert widths == {512}
+    assert {k[-1] for k in p_off._generators} == {640}
+    # batched path buckets identically and matches too
+    out_b = p.generate_context_batched(tracks, max_new_tokens=5,
+                                       num_slots=2, chunk=2)
+    ref_b = p_off.generate_context_batched(tracks, max_new_tokens=5,
+                                           num_slots=2, chunk=2)
+    assert [r["context"] for r in out_b] == [r["context"] for r in ref_b]
+    assert {k[1] for k in p._batchers} == {512}
+
+
+def test_prepare_generation_covers_every_bucket():
+    """With buckets configured, startup precompiles one program per
+    serving width so no request bucket can compile under the lock."""
+    p = _tiny_llm_predictor(max_length=640)
+    p.prepare_generation(max_new_tokens=4)
+    widths = {k[-1] for k in p._generators}
+    assert widths == {256, 384, 512, 640}
+    assert len(p._generators) <= p._cache_max
+
+
+def test_compile_cap_overrun_raises():
+    """max_new_tokens above an explicit compile_cap fails loudly instead
+    of silently growing the cap into an in-request XLA compile."""
+    import pytest as _pytest
+    p = _tiny_llm_predictor()
+    tracks = make_synthetic_tracks(num_tracks=1, track_len=300, seed=9)
+    with _pytest.raises(ValueError, match="exceeds"):
+        p.generate_context(tracks, max_new_tokens=8, compile_cap=4)
+    with _pytest.raises(ValueError, match="exceeds"):
+        p.generate_context_batched(tracks, max_new_tokens=8, compile_cap=4)
+
+
+def test_generate_context_batched_speculative_matches_plain():
+    """speculative=True through the continuous batcher returns exactly
+    the plain batcher's text (window mode is a scheduling change) for
+    greedy AND sampled configs."""
+    from tsue_tpu.ops.sampling import SamplingConfig
+    p = _tiny_llm_predictor()
+    tracks = make_synthetic_tracks(num_tracks=3, track_len=300, seed=9)
+    rng = jax.random.key(5)
+    for sampling in (None, SamplingConfig(temperature=0.9, top_k=8,
+                                          top_p=0.9)):
+        plain = p.generate_context_batched(
+            tracks, max_new_tokens=5, rng=rng, num_slots=2, chunk=2,
+            sampling=sampling)
+        spec = p.generate_context_batched(
+            tracks, max_new_tokens=5, rng=rng, num_slots=2, chunk=2,
+            sampling=sampling, speculative=True, spec_window=3)
+        assert [r["context"] for r in spec] == \
+            [r["context"] for r in plain]

@@ -230,3 +230,46 @@ def test_per_row_sampler_matches_batched_on_single_rows(mllm_and_vars):
         solo = process_and_sample(logits[i][None], keys[i],
                                   hist[i][None], hlen[i][None], cfg)
         assert int(batched[i]) == int(solo[0])
+
+
+@pytest.mark.parametrize("sampling", [
+    SamplingConfig(do_sample=False),
+    SamplingConfig(temperature=1.0, top_k=8, top_p=0.9,
+                   repetition_penalty=1.2, no_repeat_ngram_size=3),
+], ids=["greedy", "sampled"])
+def test_window_mode_bitwise_matches_plain_pool(mllm_and_vars, sampling):
+    """Speculative window mode (window>=2) composes with continuous
+    batching: per-request output is BITWISE the plain (window=1) pool's
+    — which the tests above pin to the chain-keyed single-request
+    decode — across mixed max_new, refill traffic, and chunking."""
+    mllm, variables = mllm_and_vars
+    reqs = _requests(6, seed=17)
+    plain = ContinuousBatcher(mllm, variables, sampling, num_slots=2,
+                              prompt_len=PROMPT_LEN, max_new_tokens=8,
+                              eos_id=EOS, chunk=3).run(reqs)
+    for W in (2, 4):
+        spec = ContinuousBatcher(mllm, variables, sampling, num_slots=2,
+                                 prompt_len=PROMPT_LEN, max_new_tokens=8,
+                                 eos_id=EOS, chunk=2, window=W).run(reqs)
+        for i in range(len(reqs)):
+            np.testing.assert_array_equal(
+                spec[i], plain[i],
+                err_msg=f"window={W} request {i} diverged from the "
+                        "plain pool")
+
+
+def test_window_mode_geometry_insensitive(mllm_and_vars):
+    """Window-mode requests are slot-isolated exactly like plain ones:
+    different pool sizes/windows/order yield identical tokens."""
+    mllm, variables = mllm_and_vars
+    sampling = SamplingConfig(temperature=1.0, top_k=8, top_p=0.9)
+    reqs = _requests(4, seed=23)
+    a = ContinuousBatcher(mllm, variables, sampling, num_slots=1,
+                          prompt_len=PROMPT_LEN, max_new_tokens=8,
+                          eos_id=EOS, chunk=8, window=3).run(reqs)
+    b = ContinuousBatcher(mllm, variables, sampling, num_slots=4,
+                          prompt_len=PROMPT_LEN, max_new_tokens=8,
+                          eos_id=EOS, chunk=1, window=4).run(
+                              list(reversed(reqs)))
+    for i in range(len(reqs)):
+        np.testing.assert_array_equal(a[i], b[len(reqs) - 1 - i])

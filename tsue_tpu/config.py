@@ -41,8 +41,14 @@ class DataConfig:
     # the LLM forward skips all-pad tail positions.  A handful of buckets
     # means a handful of compiled shapes (vs the reference's per-batch-max
     # dynamic padding = a new shape every batch).  () = always max_length.
-    # Metric-neutral: pad positions are attention-masked and label-masked.
-    length_buckets: Tuple[int, ...] = ()
+    # Metric-neutral: pad positions are attention-masked and label-masked
+    # (pinned by tests/test_data.py + the serve-path neutrality tests).
+    # DEFAULT ON since r4: with the real HF tokenizer the reference's
+    # context paragraphs sit well under the 512-token cap (ref
+    # scripts/train.py:1071), and the interleaved A/B measured +30%
+    # eval throughput @384 / +69% @256 (PARITY.md).  Disable with
+    # --length-buckets none (or length_buckets=()).
+    length_buckets: Tuple[int, ...] = (256, 384, 512)
 
 
 @dataclass(frozen=True)

@@ -53,7 +53,9 @@ class Predictor:
         # compiled program per distinct value ever seen
         self._batchers: Dict = {}
         self._generators: Dict = {}
-        self._cache_max = 4
+        # must hold one program per prompt-length bucket simultaneously
+        # (prepare_generation precompiles all of them at startup)
+        self._cache_max = max(4, len(cfg.data.length_buckets) + 2)
         self.tokenizer = tokenizer or get_tokenizer()
         self.model = TrajectoryModel(cfg.model, cfg.data.seq_len,
                                      cfg.data.out_len)
@@ -140,28 +142,66 @@ class Predictor:
         return val
 
     def _generation_fn(self, max_new_tokens: int, speculative: bool,
-                       sampling):
+                       sampling, prompt_len: Optional[int] = None):
         """Cached jitted generator at the serving shapes (B = batch_size,
-        prompt width = cfg.data.max_length): a long-running server must
-        compile generation once, not per request."""
+        prompt width = ``prompt_len`` — a length bucket, default
+        cfg.data.max_length): a long-running server must compile
+        generation once per (cap, bucket), not per request."""
         from tsue_tpu.eval.generation import make_generate_fn
         from tsue_tpu.eval.speculative import make_speculative_generate_fn
         from tsue_tpu.ops.sampling import SamplingConfig
         if speculative and sampling is None:
             sampling = SamplingConfig(do_sample=False)
         sampling = sampling or SamplingConfig()
-        key = (max_new_tokens, speculative, repr(sampling))
+        prompt_len = prompt_len or self.cfg.data.max_length
+        key = (max_new_tokens, speculative, repr(sampling), prompt_len)
 
         def build():
             mllm, variables = self._mllm_variables()
             make = (make_speculative_generate_fn if speculative
                     else make_generate_fn)
-            fn = make(mllm, sampling, max_new_tokens,
-                      self.cfg.data.max_length, self.tokenizer.eos_id,
-                      self.tokenizer.pad_id)
+            fn = make(mllm, sampling, max_new_tokens, prompt_len,
+                      self.tokenizer.eos_id, self.tokenizer.pad_id)
             return fn, variables
 
         return self._cache_get(self._generators, key, build)
+
+    @staticmethod
+    def _resolve_cap(compile_cap: Optional[int], max_new_tokens: int) -> int:
+        """An explicitly pinned ``compile_cap`` is a hard program bound:
+        a request above it must fail loudly, not silently grow the cap —
+        growing it triggers a fresh in-request XLA compile, exactly what
+        the cap exists to forbid (the HTTP layer clamps instead; a
+        library caller sees this error)."""
+        if compile_cap is None:
+            return max_new_tokens
+        if max_new_tokens > compile_cap:
+            raise ValueError(
+                f"max_new_tokens={max_new_tokens} exceeds "
+                f"compile_cap={compile_cap}: the cap pins the compiled "
+                "program's length — clamp the request or raise the cap "
+                "at startup (each distinct cap is one XLA compile)")
+        return compile_cap
+
+    def _bucket_prompts(self, prompt_ids: np.ndarray,
+                        prompt_mask: np.ndarray):
+        """Trim the request's prompt arrays to the smallest configured
+        length bucket covering its longest prompt row
+        (DataConfig.length_buckets — the serving side of the +30-69%
+        bucketed-eval win, PARITY.md).  Prompt tokens occupy a prefix of
+        each row (the answer span is already masked out by the caller),
+        so trimming drops only all-pad tail positions — output-neutral,
+        pinned by tests/test_serve.py.  Returns (ids, mask, width)."""
+        width = prompt_ids.shape[1]
+        buckets = tuple(self.cfg.data.length_buckets)
+        if not buckets or width <= 1:
+            return prompt_ids, prompt_mask, width
+        longest = int(prompt_mask.sum(axis=1).max()) if len(prompt_mask) \
+            else 0
+        bucket = next((b for b in buckets if b >= longest), width)
+        if bucket >= width:
+            return prompt_ids, prompt_mask, width
+        return prompt_ids[:, :bucket], prompt_mask[:, :bucket], bucket
 
     def _generation_tracks(self, tracks: Sequence[dict]):
         """Split tracks into (usable, error records) for generation.
@@ -214,7 +254,9 @@ class Predictor:
         and trim the emitted rows to ``max_new_tokens`` — a long-running
         server pins one cap at startup and serves EVERY shorter request
         from that single program instead of compiling per distinct value
-        (multi-minute XLA compiles at 1B scale).  Greedy/speculative
+        (multi-minute XLA compiles at 1B scale).  ``max_new_tokens``
+        above an explicit cap raises (never a silent in-request
+        compile; the HTTP layer clamps before calling).  Greedy/speculative
         output prefixes are exact; sampled draws carry the usual
         program-shape caveat (eval/generation.py chunking note).
         Tracks without ``context_str`` are served (the context is the
@@ -232,12 +274,15 @@ class Predictor:
         if n == 0:
             return errs
         rng = rng if rng is not None else jax.random.key(0)
-        cap = max(compile_cap or max_new_tokens, max_new_tokens)
-        gen, variables = self._generation_fn(cap, speculative, sampling)
+        cap = self._resolve_cap(compile_cap, max_new_tokens)
         # prompt-only conditioning: mask the answer span out
         prompt_mask = np.asarray(ds.attention_mask * (ds.labels == -100),
                                  np.int32)
         prompt_ids = np.asarray(ds.input_ids, np.int32) * prompt_mask
+        prompt_ids, prompt_mask, width = self._bucket_prompts(
+            prompt_ids, prompt_mask)
+        gen, variables = self._generation_fn(cap, speculative, sampling,
+                                             prompt_len=width)
         B = self.batch_size
         rows = []
         for s in range(0, n, B):
@@ -253,25 +298,74 @@ class Predictor:
         return [{"track_id": int(t), "context": txt}
                 for t, txt in zip(ds.track_id, texts)] + errs
 
+    def _serving_widths(self):
+        """Prompt widths the length bucketing can emit at serving time:
+        the configured buckets below ``max_length`` plus the full width
+        (the fallback when a prompt exceeds every bucket)."""
+        full = self.cfg.data.max_length
+        below = sorted({int(b) for b in self.cfg.data.length_buckets
+                        if 1 < b < full})
+        return tuple(below) + (full,)
+
     def prepare_generation(self, max_new_tokens: int = 64,
                            speculative: bool = False, sampling=None,
                            batched: bool = False,
                            num_slots: Optional[int] = None,
                            chunk: int = 8):
-        """Compile a generation program at startup (HTTP serving): runs
-        one dummy track end-to-end through the requested path so the
-        first real request pays a device call, not an XLA compile."""
+        """Compile the generation programs at startup (HTTP serving): one
+        per prompt-length bucket the request path can pick
+        (``_serving_widths``), each run once on a dummy prompt so the
+        first real request at ANY bucket pays a device call, never an
+        XLA compile (minutes at 1B scale, under the request lock).
+        Startup cost scales with len(length_buckets)+1 — trim the
+        buckets (--length-buckets) to trade startup time for serving
+        throughput."""
+        assert self.cfg.model.use_llm, "use_llm=False predictor"
+        import jax.numpy as jnp
         d = self.cfg.data
         track = {"track_id": 0, "context_str": "warmup",
                  "vision_embeddings": np.zeros((d.downsample, d.vision_dim),
                                                np.float32)}
+        # route one dummy track through the real request path (exercises
+        # ingest + the smallest bucket's program), then compile the
+        # remaining widths directly
         if batched:
             self.generate_context_batched(
                 [track], max_new_tokens=max_new_tokens, sampling=sampling,
-                num_slots=num_slots, chunk=chunk)
+                num_slots=num_slots, chunk=chunk, speculative=speculative)
         else:
             self.generate_context([track], max_new_tokens=max_new_tokens,
                                   sampling=sampling, speculative=speculative)
+        B = num_slots or self.batch_size
+        rng = jax.random.key(0)
+        for w in self._serving_widths():
+            ids = np.zeros((1, w), np.int32)
+            mask = np.zeros((1, w), np.int32)
+            ids[0, :4] = 5
+            mask[0, :4] = 1
+            vis = np.zeros((1, d.downsample, d.vision_dim), np.float32)
+            if batched:
+                window = self._spec_window(speculative, None, sampling)
+                key = (B, w, max_new_tokens, chunk, repr(sampling), window)
+                batcher = self._cache_get(
+                    self._batchers, key,
+                    lambda w=w, window=window: self.continuous_batcher(
+                        num_slots=B, prompt_len=w,
+                        max_new_tokens=max_new_tokens, chunk=chunk,
+                        sampling=sampling, window=window))
+                req = {"prompt_ids": ids[0], "prompt_mask": mask[0],
+                       "rng": rng}
+                if self.cfg.model.use_vision:
+                    req["vision"] = vis[0]
+                batcher.run([req])
+            else:
+                gen, variables = self._generation_fn(
+                    max_new_tokens, speculative, sampling, prompt_len=w)
+                reps = (self.batch_size, 1)
+                out = gen(variables, jnp.asarray(np.tile(vis, reps + (1,))),
+                          jnp.asarray(np.tile(ids, reps)),
+                          jnp.asarray(np.tile(mask, reps)), rng)
+                np.asarray(out)
         return self
 
     def generate_context_batched(self, tracks: Sequence[dict],
@@ -280,7 +374,9 @@ class Predictor:
                                  sampling=None,
                                  num_slots: Optional[int] = None,
                                  chunk: int = 8,
-                                 compile_cap: Optional[int] = None
+                                 compile_cap: Optional[int] = None,
+                                 speculative: bool = False,
+                                 spec_window: Optional[int] = None
                                  ) -> List[Dict]:
         """``generate_context`` through the ContinuousBatcher slot pool.
 
@@ -290,7 +386,14 @@ class Predictor:
         the serving path for mixed-length traffic.  Per-request fold_in
         keys make each track's output independent of co-batched traffic
         (tests/test_serve_batching.py pins batcher == single-request
-        decodes)."""
+        decodes).
+
+        ``speculative=True`` additionally drafts ``spec_window-1``
+        prompt-lookup tokens per tick and scores the whole window in one
+        forward (serve_batching.py window mode) — output stays bitwise
+        the plain pool's, so the scheduling and speculation wins
+        compose.  ``spec_window`` defaults to the measured sweet spots:
+        8 for greedy, 4 for sampled configs (PARITY.md)."""
         assert self.cfg.model.use_llm, "use_llm=False predictor"
         from tsue_tpu.data.text_dataset import build_track_text_dataset
         from tsue_tpu.eval.generation import postprocess_text
@@ -300,21 +403,24 @@ class Predictor:
                                       require_vision=False)
         if len(ds) == 0:
             return errs
-        cap = max(compile_cap or max_new_tokens, max_new_tokens)
+        cap = self._resolve_cap(compile_cap, max_new_tokens)
         prompt_mask = np.asarray(ds.attention_mask * (ds.labels == -100),
                                  np.int32)
         prompt_ids = np.asarray(ds.input_ids, np.int32) * prompt_mask
+        prompt_ids, prompt_mask, _ = self._bucket_prompts(
+            prompt_ids, prompt_mask)
+        window = self._spec_window(speculative, spec_window, sampling)
         # reuse one batcher per pool shape: its jitted programs are
         # closures, so a fresh instance per request would retrace
         key = (num_slots or self.batch_size, prompt_ids.shape[1],
-               cap, chunk, repr(sampling))
+               cap, chunk, repr(sampling), window)
         batcher = self._cache_get(
             self._batchers, key,
             lambda: self.continuous_batcher(
                 num_slots=num_slots or self.batch_size,
                 prompt_len=prompt_ids.shape[1],
                 max_new_tokens=cap, chunk=chunk,
-                sampling=sampling))
+                sampling=sampling, window=window))
         base = rng if rng is not None else jax.random.key(0)
         reqs = []
         for i in range(len(ds)):
@@ -330,14 +436,29 @@ class Predictor:
         return [{"track_id": int(t), "context": txt}
                 for t, txt in zip(ds.track_id, texts)] + errs
 
+    @staticmethod
+    def _spec_window(speculative: bool, spec_window: Optional[int],
+                     sampling) -> int:
+        """Speculation window for the slot pool: 1 (off) unless
+        ``speculative``; defaults to the measured sweet spots — 8 for
+        greedy, 4 for sampled configs (PARITY.md speculative tables)."""
+        if not speculative:
+            if spec_window not in (None, 1):
+                raise ValueError("spec_window requires speculative=True")
+            return 1
+        if spec_window is not None:
+            return spec_window
+        return 4 if (sampling is not None and sampling.do_sample) else 8
+
     def continuous_batcher(self, num_slots: int = 16,
                            prompt_len: Optional[int] = None,
                            max_new_tokens: int = 64, chunk: int = 8,
-                           sampling=None):
+                           sampling=None, window: int = 1):
         """Build a ContinuousBatcher over this predictor's MLLM (and its
         int8 quant tables when ``quantize_decode``): slot-pool scheduling
         for variable-length generation workloads — see serve_batching.py.
-        """
+        ``window`` >= 2 enables the speculative window mode (bitwise the
+        plain pool's output, fewer weight streams)."""
         assert self.cfg.model.use_llm, "use_llm=False predictor"
         from tsue_tpu.ops.sampling import SamplingConfig
         from tsue_tpu.serve_batching import ContinuousBatcher
@@ -349,7 +470,7 @@ class Predictor:
                         else self.cfg.data.max_length),
             max_new_tokens=max_new_tokens,
             eos_id=self.tokenizer.eos_id, pad_id=self.tokenizer.pad_id,
-            chunk=chunk)
+            chunk=chunk, window=window)
 
     def predict(self, tracks: Sequence[dict],
                 rng: Optional[jax.Array] = None) -> List[Dict]:

@@ -27,6 +27,19 @@ slot placement or co-batched traffic (ops/sampling.py
 process_and_sample_per_row) — a property the shared-key batched sampler
 cannot give, and the contract tests/test_serve_batching.py pins against
 a single-request reference decode.
+
+Speculative mode (``window`` >= 2) composes prompt-lookup speculative
+decoding (eval/speculative.py) with the slot pool: each decode tick runs
+ONE ``decode_window`` forward over all slots — the committed next token
+plus W-1 n-gram drafts per row — and each row keeps the longest prefix its
+own sampler would have produced, so rows advance 1..W tokens per weight
+stream on their OWN clocks (per-row ``step``).  Draw keys are per-request
+split chains indexed by absolute output position, exactly the plain
+pool's discipline, so a request's output is BITWISE the plain batcher's
+(and therefore the chain-keyed single-request decode's) — pinned in
+tests/test_serve_batching.py for greedy AND sampled configs.  The
+scheduling win (refill) and the speculation win (tokens/forward)
+multiply; measured by scripts/ab_continuous.py --speculative.
 """
 from __future__ import annotations
 
@@ -37,6 +50,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tsue_tpu.eval.speculative import ngram_draft
 from tsue_tpu.ops.sampling import (SamplingConfig,
                                    process_and_sample_per_row)
 
@@ -68,7 +82,15 @@ class ContinuousBatcher:
 
     def __init__(self, mllm, variables, sampling: SamplingConfig,
                  num_slots: int, prompt_len: int, max_new_tokens: int,
-                 eos_id: int, pad_id: int = 0, chunk: int = 8):
+                 eos_id: int, pad_id: int = 0, chunk: int = 8,
+                 window: int = 1, draft_ngram: int = 3):
+        """``window``: 1 = plain token-at-a-time decoding; >= 2 enables
+        speculative mode — each tick scores the committed token plus
+        window-1 prompt-lookup drafts in one ``decode_window`` forward
+        (``draft_ngram`` = the n of the suffix lookup).  Output is
+        bitwise the window=1 pool's (module docstring)."""
+        if window < 1:
+            raise ValueError("window must be >= 1")
         self.mllm = mllm
         self.variables = variables
         self.sampling = sampling
@@ -78,9 +100,17 @@ class ContinuousBatcher:
         self.eos_id = eos_id
         self.pad_id = pad_id
         self.chunk = max(1, min(chunk, max_new_tokens))
+        self.window = window
+        self.draft_ngram = draft_ngram
         n_img = mllm.qformer.num_query_tokens if mllm.use_vision else 0
         self.P = n_img + prompt_len
-        self.cache_len = self.P + max_new_tokens
+        # speculative windows overrun the nominal lengths by < window:
+        # scatters write up to step+window-1 / hlen+window-1, and the
+        # window forward's cache writes reach P+step+window-1
+        slack = window if window > 1 else 0
+        self.cache_len = self.P + max_new_tokens + slack
+        self._out_len = max_new_tokens + slack
+        self._hist_len = prompt_len + max_new_tokens + slack
         self._decode_chunk = jax.jit(self._decode_chunk_impl,
                                      donate_argnums=0)
         self._admit = jax.jit(self._admit_impl, donate_argnums=0)
@@ -97,15 +127,14 @@ class ContinuousBatcher:
                        for _ in range(c.num_layers))
         return PoolState(
             caches=caches,
-            history=jnp.full((B, self.prompt_len + self.max_new_tokens),
-                             self.pad_id, jnp.int32),
+            history=jnp.full((B, self._hist_len), self.pad_id, jnp.int32),
             hlen=jnp.zeros((B,), jnp.int32),
             logits=jnp.zeros((B, V), jnp.float32),
             keys=jax.random.split(jax.random.key(0), B),
             prefix_len=jnp.zeros((B,), jnp.int32),
             fmask=jnp.zeros((B, self.P), jnp.int32),
             step=jnp.zeros((B,), jnp.int32),
-            out=jnp.full((B, self.max_new_tokens), self.pad_id, jnp.int32),
+            out=jnp.full((B, self._out_len), self.pad_id, jnp.int32),
             max_new=jnp.zeros((B,), jnp.int32),
             active=jnp.zeros((B,), bool),
             finished=jnp.zeros((B,), bool))
@@ -129,10 +158,9 @@ class ContinuousBatcher:
             for (ck, cv), (nk, nv) in zip(state.caches, caches_a))
         hist_rows = jnp.concatenate(
             [prompt_ids,
-             jnp.full((A, self.max_new_tokens), self.pad_id, jnp.int32)],
-            axis=1)
-        pad_rows = jnp.full((A, self.max_new_tokens), self.pad_id,
-                            jnp.int32)
+             jnp.full((A, self._hist_len - self.prompt_len), self.pad_id,
+                      jnp.int32)], axis=1)
+        pad_rows = jnp.full((A, self._out_len), self.pad_id, jnp.int32)
         return state._replace(
             caches=caches,
             history=state.history.at[slots].set(hist_rows),
@@ -150,6 +178,8 @@ class ContinuousBatcher:
             finished=state.finished.at[slots].set(jnp.zeros((A,), bool)))
 
     def _decode_chunk_impl(self, state: PoolState) -> PoolState:
+        if self.window > 1:
+            return self._decode_chunk_window(state)
         B, rows = self.B, jnp.arange(self.B)
         cfg, pad, eos = self.sampling, self.pad_id, self.eos_id
 
@@ -179,6 +209,92 @@ class ContinuousBatcher:
                 logits=jnp.where(live[:, None],
                                  new_logits.astype(jnp.float32), st.logits),
                 keys=split[:, 1], step=st.step + live, out=out,
+                finished=finished), None
+
+        state, _ = jax.lax.scan(body, state, None, length=self.chunk)
+        return state
+
+    def _decode_chunk_window(self, state: PoolState) -> PoolState:
+        """Speculative decode tick (window >= 2), scanned ``chunk`` times.
+
+        Per tick: draw the committed token for every row's current
+        position with its position's chain key (EXACTLY the plain body's
+        draw — same key, same logits, same history), propose window-1
+        prompt-lookup drafts, score all window positions in ONE
+        ``decode_window`` forward, and accept drafts while they equal the
+        row's own chain-keyed draw at that position.  Emitted tokens are
+        therefore exactly the plain pool's; only the number of weight
+        streams changes (eval/speculative.py sample-and-match, here on
+        per-slot clocks)."""
+        rows = jnp.arange(self.B)
+        W = self.window
+        offs = jnp.arange(W)[None, :]
+        cfg, pad, eos = self.sampling, self.pad_id, self.eos_id
+        H = self._hist_len
+
+        def body(st: PoolState, _):
+            live = st.active & ~st.finished
+            # W chain keys ahead of each row's carry: dk[:, j] draws the
+            # token at output position step+j; carr[:, j] is the carry
+            # after consuming it (the plain body's split-per-draw chain,
+            # precomputed so window draws can random-access position keys)
+            def kstep(carry, _):
+                s = jax.vmap(jax.random.split)(carry)
+                return s[:, 1], (s[:, 0], s[:, 1])
+            _, (dk, carr) = jax.lax.scan(kstep, st.keys, None, length=W)
+            dk = jnp.swapaxes(dk, 0, 1)       # (B, W) draw keys
+            carr = jnp.swapaxes(carr, 0, 1)   # (B, W) carries
+            # committed token at position step — the plain body's draw
+            tok = process_and_sample_per_row(
+                st.logits, dk[:, 0], st.history, st.hlen, cfg)
+            tok = jnp.where(live, tok, pad).astype(jnp.int32)
+            # drafts proposed from the history as it reads after tok
+            hidx = jnp.minimum(st.hlen, H - 1)
+            hist1 = st.history.at[rows, hidx].set(
+                jnp.where(live, tok, st.history[rows, hidx]))
+            draft = ngram_draft(hist1, st.hlen + 1, self.draft_ngram, W - 1)
+            wtoks = jnp.concatenate([tok[:, None], draft], axis=1)
+            logits_w, caches = self.mllm.apply(
+                self.variables, wtoks, st.step, st.prefix_len, st.caches,
+                st.fmask, self.cache_len, method=self.mllm.decode_window)
+            logits_w = logits_w.astype(jnp.float32)
+            # score positions step+1..step+W-1 against the history each
+            # implies; the V-wide stages run batched over all B*(W-1)
+            # rows (per-row vmap measured 2.6x slower, ops/sampling.py)
+            cols = st.hlen[:, None] + offs
+            hist_all = st.history.at[rows[:, None], cols].set(wtoks)
+            g = process_and_sample_per_row(
+                logits_w[:, :W - 1].reshape(self.B * (W - 1), -1),
+                dk[:, 1:].reshape(-1),
+                jnp.repeat(hist_all, W - 1, axis=0),
+                (st.hlen[:, None] + offs[:, :W - 1] + 1).reshape(-1),
+                cfg).reshape(self.B, W - 1).astype(jnp.int32)
+            # accept drafts while they equal the row's own draw and no
+            # EOS has been committed (EOS can only be the final token)
+            acc = (wtoks[:, 1:] == g) & (wtoks[:, :-1] != eos)
+            n_emit = 1 + jnp.cumprod(acc.astype(jnp.int32), axis=1
+                                     ).sum(axis=1)      # in [1, W]
+            n_emit = jnp.where(live,
+                               jnp.minimum(n_emit, st.max_new - st.step), 0)
+            emit = offs < n_emit[:, None]                # (B, W)
+            ocols = st.step[:, None] + offs
+            out = st.out.at[rows[:, None], ocols].set(
+                jnp.where(emit, wtoks, st.out[rows[:, None], ocols]))
+            history = st.history.at[rows[:, None], cols].set(
+                jnp.where(emit, wtoks, st.history[rows[:, None], cols]))
+            hlen = st.hlen + n_emit
+            step = st.step + n_emit
+            # logits for the NEXT committed position step+n_emit came out
+            # of this window at offset n_emit-1; its chain carry likewise
+            sel = jnp.clip(n_emit - 1, 0, W - 1)
+            new_logits = jnp.where(live[:, None], logits_w[rows, sel],
+                                   st.logits)
+            finished = st.finished | ((wtoks == eos) & emit).any(axis=1) \
+                | (live & (step >= st.max_new))
+            return st._replace(
+                caches=tuple(tuple(c) for c in caches),
+                history=history, hlen=hlen, logits=new_logits,
+                keys=carr[rows, sel], step=step, out=out,
                 finished=finished), None
 
         state, _ = jax.lax.scan(body, state, None, length=self.chunk)
