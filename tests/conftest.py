@@ -28,6 +28,14 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    # two-tier suite (CLAUDE.md): `-m "not heavy"` is the fast tier;
+    # heavy = long trainings / real CLI or multi-process subprocesses
+    config.addinivalue_line(
+        "markers", "heavy: slow tests (long trainings, real subprocesses) "
+        "— run the fast tier with -m 'not heavy'")
+
+
 @pytest.fixture(scope="session")
 def synthetic_tracks():
     from tsue_tpu.data.schema import make_synthetic_tracks

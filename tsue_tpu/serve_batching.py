@@ -111,9 +111,14 @@ class ContinuousBatcher:
         self.cache_len = self.P + max_new_tokens + slack
         self._out_len = max_new_tokens + slack
         self._hist_len = prompt_len + max_new_tokens + slack
+        # the model weights enter every jitted program as an ARGUMENT,
+        # never a closure: closed-over arrays are baked into the compile
+        # payload as constants (2.6 GB at 1B scale), which the remote
+        # compiler rejects (CLAUDE.md; observed as remote_compile broken
+        # pipe).  State is donated; variables are read-only.
         self._decode_chunk = jax.jit(self._decode_chunk_impl,
-                                     donate_argnums=0)
-        self._admit = jax.jit(self._admit_impl, donate_argnums=0)
+                                     donate_argnums=1)
+        self._admit = jax.jit(self._admit_impl, donate_argnums=1)
         self._release = jax.jit(self._release_impl, donate_argnums=0)
 
     # ---- jitted programs -------------------------------------------------
@@ -139,18 +144,18 @@ class ContinuousBatcher:
             active=jnp.zeros((B,), bool),
             finished=jnp.zeros((B,), bool))
 
-    def _admit_impl(self, state: PoolState, slots, vision, prompt_ids,
-                    prompt_mask, keys, max_new) -> PoolState:
+    def _admit_impl(self, variables, state: PoolState, slots, vision,
+                    prompt_ids, prompt_mask, keys, max_new) -> PoolState:
         """Prefill A requests (leading dim A) in ONE forward and scatter
         them into ``slots`` (A,).  ``slots`` is traced, so one compile
         serves any slot assignment of a given A; run() buckets A to
         powers of two to bound the compile count at log2(num_slots)+1."""
         A = prompt_ids.shape[0]
         caches_a, last_hidden, plen, fmask = self.mllm.apply(
-            self.variables, vision, prompt_ids, prompt_mask,
+            variables, vision, prompt_ids, prompt_mask,
             self.cache_len, method=self.mllm.prefill)
         logits0 = self.mllm.apply(
-            self.variables, last_hidden,
+            variables, last_hidden,
             method=lambda m, h: m.llama_mod.logits_from_hidden(
                 h, quant_ok=True))
         caches = tuple(
@@ -177,9 +182,9 @@ class ContinuousBatcher:
             active=state.active.at[slots].set(jnp.ones((A,), bool)),
             finished=state.finished.at[slots].set(jnp.zeros((A,), bool)))
 
-    def _decode_chunk_impl(self, state: PoolState) -> PoolState:
+    def _decode_chunk_impl(self, variables, state: PoolState) -> PoolState:
         if self.window > 1:
-            return self._decode_chunk_window(state)
+            return self._decode_chunk_window(variables, state)
         B, rows = self.B, jnp.arange(self.B)
         cfg, pad, eos = self.sampling, self.pad_id, self.eos_id
 
@@ -201,7 +206,7 @@ class ContinuousBatcher:
             # finished/empty slots ride along: their step is frozen, so
             # they rewrite the same cache offset with masked-out garbage
             new_logits, caches = self.mllm.apply(
-                self.variables, tok, st.step, st.prefix_len, st.caches,
+                variables, tok, st.step, st.prefix_len, st.caches,
                 st.fmask, self.cache_len, method=self.mllm.decode_step)
             return st._replace(
                 caches=tuple(tuple(c) for c in caches),  # model returns list
@@ -214,7 +219,8 @@ class ContinuousBatcher:
         state, _ = jax.lax.scan(body, state, None, length=self.chunk)
         return state
 
-    def _decode_chunk_window(self, state: PoolState) -> PoolState:
+    def _decode_chunk_window(self, variables,
+                             state: PoolState) -> PoolState:
         """Speculative decode tick (window >= 2), scanned ``chunk`` times.
 
         Per tick: draw the committed token for every row's current
@@ -255,7 +261,7 @@ class ContinuousBatcher:
             draft = ngram_draft(hist1, st.hlen + 1, self.draft_ngram, W - 1)
             wtoks = jnp.concatenate([tok[:, None], draft], axis=1)
             logits_w, caches = self.mllm.apply(
-                self.variables, wtoks, st.step, st.prefix_len, st.caches,
+                variables, wtoks, st.step, st.prefix_len, st.caches,
                 st.fmask, self.cache_len, method=self.mllm.decode_window)
             logits_w = logits_w.astype(jnp.float32)
             # score positions step+1..step+W-1 against the history each
@@ -364,7 +370,7 @@ class ContinuousBatcher:
                                   else jax.random.fold_in(base, rid)))
                     slots.append(s)
                 state = self._admit(
-                    state, jnp.asarray(slots, jnp.int32),
+                    self.variables, state, jnp.asarray(slots, jnp.int32),
                     (jnp.stack([jnp.asarray(r["vision"]) for r, _ in batch])
                      if self.mllm.use_vision else None),
                     jnp.stack([jnp.asarray(r["prompt_ids"], jnp.int32)
@@ -374,7 +380,7 @@ class ContinuousBatcher:
                     jnp.stack([k for _, k in batch]),
                     jnp.asarray([r.get("max_new", self.max_new_tokens)
                                  for r, _ in batch], jnp.int32))
-            state = self._decode_chunk(state)
+            state = self._decode_chunk(self.variables, state)
             harvest = np.asarray(state.active & state.finished)
             if not harvest.any():
                 continue
