@@ -185,3 +185,86 @@ def test_spill_detection_and_vocab_guard():
     with pytest.raises(ValueError, match="top_k"):
         LT.sample_from_topk_slice(vals, idx, jax.random.key(0),
                                   SamplingConfig(top_k=LT.LANES))
+
+
+def test_generate_fn_fused_head_matches_plain():
+    """make_generate_fn(fused_head=True) drives the whole KV-cached decode
+    through decode_hidden + the fused kernel and reproduces the plain
+    generator's tokens on the tiny MLLM (CPU f32: the two head
+    formulations agree here; on-chip bf16 carries the documented
+    ulp caveat)."""
+    import dataclasses
+    from tsue_tpu.config import LlamaConfig, QFormerConfig
+    from tsue_tpu.eval.generation import make_generate_fn
+    from tsue_tpu.models.fusion import MultiModalLLM
+
+    llama = dataclasses.replace(LlamaConfig.tiny(384), lora_dropout=0.0)
+    qf = QFormerConfig(hidden_size=32, num_heads=2, num_encoder_layers=1,
+                       num_decoder_layers=1, num_query_tokens=4,
+                       dropout=0.0)
+    mllm = MultiModalLLM(llama, qf)
+    rng = np.random.default_rng(0)
+    Bg, P = 3, 8
+    vision = jnp.asarray(rng.standard_normal((Bg, 4, 512)), jnp.float32)
+    ids = jnp.asarray(rng.integers(3, 380, (Bg, P)), jnp.int32)
+    mask = jnp.ones((Bg, P), jnp.int32)
+    variables = mllm.init({"params": jax.random.key(0)}, vision, ids,
+                          mask, True)
+    for cfg in (SamplingConfig(do_sample=False),
+                SamplingConfig(temperature=0.9, top_k=40, top_p=0.9,
+                               repetition_penalty=1.2,
+                               no_repeat_ngram_size=3)):
+        plain = make_generate_fn(mllm, cfg, 8, P, eos_id=383)
+        fused = make_generate_fn(mllm, cfg, 8, P, eos_id=383,
+                                 fused_head=True)
+        key = jax.random.key(5)
+        a = np.asarray(plain(variables, vision, ids, mask, key))
+        b = np.asarray(fused(variables, vision, ids, mask, key))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_generate_fn_fused_head_int8():
+    """fused_head composes with the int8 quant collection (the kernel
+    streams lm_head_w8 tiles) and still decodes through one program."""
+    import dataclasses
+    from tsue_tpu.config import LlamaConfig, QFormerConfig
+    from tsue_tpu.eval.generation import make_generate_fn
+    from tsue_tpu.models.fusion import MultiModalLLM
+    from tsue_tpu.ops.quant import with_quantized_decode
+
+    llama = dataclasses.replace(LlamaConfig.tiny(384), lora_dropout=0.0)
+    qf = QFormerConfig(hidden_size=32, num_heads=2, num_encoder_layers=1,
+                       num_decoder_layers=1, num_query_tokens=4,
+                       dropout=0.0)
+    mllm = MultiModalLLM(llama, qf)
+    rng = np.random.default_rng(1)
+    Bg, P = 2, 6
+    vision = jnp.asarray(rng.standard_normal((Bg, 4, 512)), jnp.float32)
+    ids = jnp.asarray(rng.integers(3, 380, (Bg, P)), jnp.int32)
+    mask = jnp.ones((Bg, P), jnp.int32)
+    variables = with_quantized_decode(
+        mllm.init({"params": jax.random.key(0)}, vision, ids, mask, True))
+    cfg = SamplingConfig(do_sample=False)
+    plain = make_generate_fn(mllm, cfg, 6, P, eos_id=383)
+    fused = make_generate_fn(mllm, cfg, 6, P, eos_id=383, fused_head=True)
+    key = jax.random.key(2)
+    a = np.asarray(plain(variables, vision, ids, mask, key))
+    b = np.asarray(fused(variables, vision, ids, mask, key))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_fused_head_rejects_bad_configs():
+    import dataclasses
+    from tsue_tpu.config import LlamaConfig, QFormerConfig
+    from tsue_tpu.eval.generation import make_generate_fn
+    from tsue_tpu.models.fusion import MultiModalLLM
+    llama = LlamaConfig.tiny(384)
+    qf = QFormerConfig(num_query_tokens=4)
+    mllm = MultiModalLLM(llama, qf)
+    with pytest.raises(ValueError, match="top_k"):
+        make_generate_fn(mllm, SamplingConfig(top_k=0), 4, 8, eos_id=1,
+                         fused_head=True)
+    bad = MultiModalLLM(dataclasses.replace(llama, vocab_size=100), qf)
+    with pytest.raises(ValueError, match="128"):
+        make_generate_fn(bad, SamplingConfig(), 4, 8, eos_id=1,
+                         fused_head=True)

@@ -27,9 +27,27 @@ from tsue_tpu.ops.sampling import SamplingConfig, process_and_sample
 CUTOFF_MARKER = "No right-following vehicle."
 
 
+def head_arrays(mllm, variables):
+    """LM-head weight arrays for the fused sampler (ops/lmhead_topk.py):
+    (tied embedding (V, D), None) or (None, (lm_head_w8, lm_head_scale))
+    when the int8 ``quant`` collection is attached — resolved from the
+    ``variables`` ARGUMENT inside the jitted generator, never closed
+    over."""
+    quant = variables.get("quant", {}).get("llama", {})
+    if "lm_head_w8" in quant:
+        return None, (quant["lm_head_w8"], quant["lm_head_scale"])
+    if not mllm.llama.tie_word_embeddings:
+        raise NotImplementedError(
+            "fused_head needs the tied embedding (V, D) layout or the "
+            "int8 quant collection; untied bf16 lm_head is (D, V)")
+    return variables["params"]["llama"]["model"]["embed_tokens"][
+        "embedding"], None
+
+
 def make_generate_fn(mllm, cfg: SamplingConfig, max_new_tokens: int,
                      prompt_len: int, eos_id: int, pad_id: int = 0,
-                     early_exit_chunk: Optional[int] = 8):
+                     early_exit_chunk: Optional[int] = 8,
+                     fused_head: bool = False):
     """Build a jitted (variables, vision, prompt_ids, prompt_mask, rng) ->
     (B, max_new_tokens) int32 generator for fixed shapes.
 
@@ -47,7 +65,24 @@ def make_generate_fn(mllm, cfg: SamplingConfig, max_new_tokens: int,
     program-shape change, XLA may fuse the two formulations differently,
     so sampled draws can flip where ulp-level logit shifts cross a
     sampling threshold.  ``None`` recovers the single full-length scan.
+
+    ``fused_head=True`` replaces the logits carry with a (B, D) hidden
+    carry and samples through the fused LM-head+top-k Pallas kernel
+    (ops/lmhead_topk.py): the head weight streams through VMEM once per
+    step and the (B, V) logits are never materialized — the processors,
+    top-k and draw all happen in slice space.  Semantically the plain
+    chain with the kernel's documented formulation caveats (ulp-level
+    matmul rounding, >88-way boundary tie spill); requires
+    0 < top_k < 128 for sampled configs and a 128-multiple vocab.
     """
+    if fused_head:
+        from tsue_tpu.ops.lmhead_topk import (LANES, lmhead_topk,
+                                              sample_from_topk_slice,
+                                              token_state_mask)
+        if mllm.llama.vocab_size % LANES:
+            raise ValueError("fused_head needs vocab_size % 128 == 0")
+        if cfg.do_sample and not 0 < cfg.top_k < LANES:
+            raise ValueError(f"fused_head needs 0 < top_k < {LANES}")
     n_img = mllm.qformer.num_query_tokens if mllm.use_vision else 0
     P = n_img + prompt_len
     chunk = early_exit_chunk or max_new_tokens
@@ -57,6 +92,8 @@ def make_generate_fn(mllm, cfg: SamplingConfig, max_new_tokens: int,
         chunk = -(-max_new_tokens // n_chunks)
     total = n_chunks * chunk            # buffers padded to whole chunks
     cache_len = P + total
+    V = mllm.llama.vocab_size
+    use_mask = cfg.repetition_penalty != 1.0 or cfg.no_repeat_ngram_size > 0
 
     @jax.jit
     def generate(variables, vision, prompt_ids, prompt_mask, rng):
@@ -64,10 +101,14 @@ def make_generate_fn(mllm, cfg: SamplingConfig, max_new_tokens: int,
         caches, last_hidden, prefix_len, fmask = mllm.apply(
             variables, vision, prompt_ids, prompt_mask, cache_len,
             method=mllm.prefill)
-        logits0 = mllm.apply(
-            variables, last_hidden,
-            method=lambda m, h: m.llama_mod.logits_from_hidden(
-                h, quant_ok=True))
+        if fused_head:
+            head0 = last_hidden          # the hidden carry starts here
+            w_head, quant_head = head_arrays(mllm, variables)
+        else:
+            head0 = mllm.apply(
+                variables, last_hidden,
+                method=lambda m, h: m.llama_mod.logits_from_hidden(
+                    h, quant_ok=True))
 
         # token history for repetition penalty / ngram ban starts with the
         # prompt (HF sees fake_input_ids=prompt_ids, ref train.py:625)
@@ -76,19 +117,28 @@ def make_generate_fn(mllm, cfg: SamplingConfig, max_new_tokens: int,
         hlen = prompt_mask.sum(axis=1).astype(jnp.int32)
 
         def body(carry, step):
-            caches, history, hlen, logits, rng, finished = carry
+            caches, history, hlen, head, rng, finished = carry
             rng, sub = jax.random.split(rng)
-            tok = process_and_sample(logits, sub, history, hlen, cfg)
+            if fused_head:
+                mask = (token_state_mask(history, hlen, V, cfg)
+                        if use_mask else None)
+                vals, idx = lmhead_topk(head, w_head, mask,
+                                        penalty=cfg.repetition_penalty,
+                                        quant=quant_head)
+                tok = sample_from_topk_slice(vals, idx, sub, cfg)
+            else:
+                tok = process_and_sample(head, sub, history, hlen, cfg)
             tok = jnp.where(finished, pad_id, tok).astype(jnp.int32)
             finished = finished | (tok == eos_id)
             history = history.at[jnp.arange(B), hlen].set(tok)
             hlen = hlen + jnp.where(finished & (tok == pad_id), 0, 1)
-            new_logits, caches = mllm.apply(
+            new_head, caches = mllm.apply(
                 variables, tok, step, prefix_len, caches, fmask, cache_len,
-                method=mllm.decode_step)
-            return (caches, history, hlen, new_logits, rng, finished), tok
+                method=(mllm.decode_hidden if fused_head
+                        else mllm.decode_step))
+            return (caches, history, hlen, new_head, rng, finished), tok
 
-        init = (caches, history, hlen, logits0, rng, jnp.zeros((B,), bool))
+        init = (caches, history, hlen, head0, rng, jnp.zeros((B,), bool))
         if n_chunks <= 1:  # includes max_new_tokens == 0: empty scan
             _, toks = jax.lax.scan(body, init, jnp.arange(max_new_tokens))
             return jnp.swapaxes(toks, 0, 1)               # (B, max_new)

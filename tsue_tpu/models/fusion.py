@@ -133,6 +133,18 @@ class MultiModalLLM(nn.Module):
         behavior for new tokens (ref scripts/train.py:612-619).
         Returns (logits (B, V), new_caches).
         """
+        hidden, caches = self.decode_hidden(
+            token, step_index, prefix_len, caches, fused_mask, cache_len,
+            deterministic)
+        logits = self.llama_mod.logits_from_hidden(hidden, quant_ok=True)
+        return logits, caches
+
+    def decode_hidden(self, token, step_index, prefix_len, caches,
+                      fused_mask, cache_len: int, deterministic=True):
+        """``decode_step`` WITHOUT the LM head: returns (hidden (B, D),
+        new_caches) for the fused LM-head+top-k sampler
+        (ops/lmhead_topk.py), which streams the head weight itself and
+        never materializes the (B, V) logits."""
         B = token.shape[0]
         P = fused_mask.shape[1]
         emb = self.llama_mod.embed(token[:, None])       # (B, 1, D)
@@ -146,9 +158,7 @@ class MultiModalLLM(nn.Module):
         hidden, caches = self.llama_mod.model(
             emb, None, pos, deterministic, caches, slot, kv_mask,
             quant_ok=True)
-        logits = self.llama_mod.logits_from_hidden(hidden[:, 0],
-                                                   quant_ok=True)
-        return logits, caches
+        return hidden[:, 0], caches
 
     def decode_window(self, tokens, step_index, prefix_len, caches,
                       fused_mask, cache_len: int, deterministic=True):

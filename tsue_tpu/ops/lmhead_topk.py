@@ -323,15 +323,19 @@ def token_state_mask(token_history, history_len, vocab_size: int,
 
 
 def lmhead_topk(hidden, weight, mask, penalty: float = 1.0,
-                quant=None, interpret: bool = False):
+                quant=None, interpret=None):
     """Processed-logits exact top-128 straight from the hidden state.
 
     ``weight``: the tied embedding (V, D) — or pass ``quant=(w8 (D, V)
     int8, scale (V,))`` from ops/quant.py to stream int8 instead.
     ``mask``: :func:`token_state_mask` output.  Returns (vals (B, 128)
     f32, idx (B, 128) i32) == ``lax.top_k(processed_logits, 128)``
-    including tie order.
+    including tie order.  ``interpret=None`` auto-selects the Pallas
+    interpreter on CPU (ops/quant.py convention).
     """
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    interpret = bool(interpret)
     if quant is not None:
         w8, scale = quant
         return _lmhead_topk_int8(hidden, w8, scale, mask,
