@@ -64,7 +64,8 @@ def _build_predictor(args, cfg):
     return Predictor(cfg, params, batch_size=args.serve_batch_size,
                      num_candidates=args.candidates,
                      tokenizer=get_tokenizer(args.tokenizer),
-                     quantize_decode=args.quantize_decode)
+                     quantize_decode=args.quantize_decode,
+                     fused_head=args.fused_head)
 
 
 def _jsonable(rec):
@@ -208,6 +209,10 @@ def main():
     p.add_argument("--serve-batch-size", type=int, default=16,
                    help="fixed compiled batch size")
     p.add_argument("--quantize-decode", action="store_true")
+    p.add_argument("--fused-head", action="store_true",
+                   help="decode /generate through the fused LM-head+top-k "
+                        "kernel (ops/lmhead_topk.py; static batcher, "
+                        "composes with --quantize-decode)")
     p.add_argument("--speculative", action="store_true",
                    help="prompt-lookup speculative greedy decoding for "
                         "/generate and --generate; composes with "

@@ -407,3 +407,21 @@ def test_generate_context_batched_speculative_matches_plain():
             sampling=sampling, speculative=True, spec_window=3)
         assert [r["context"] for r in spec] == \
             [r["context"] for r in plain]
+
+
+def test_fused_head_predictor_matches_plain():
+    """Predictor(fused_head=True) serves generate_context through the
+    fused LM-head kernel and reproduces the plain predictor's text on
+    CPU (f32 formulations agree at the tiny dims); composes with
+    quantize_decode."""
+    p_plain = _tiny_llm_predictor()
+    p_fused = Predictor(p_plain.cfg, p_plain.params, batch_size=2,
+                        fused_head=True)
+    tracks = make_synthetic_tracks(num_tracks=2, track_len=300, seed=9)
+    a = p_plain.generate_context(tracks, max_new_tokens=5)
+    b = p_fused.generate_context(tracks, max_new_tokens=5)
+    assert [r["context"] for r in a] == [r["context"] for r in b]
+    p_q = Predictor(p_plain.cfg, p_plain.params, batch_size=2,
+                    fused_head=True, quantize_decode=True)
+    c = p_q.generate_context(tracks, max_new_tokens=5)
+    assert len(c) == 2 and all(isinstance(r["context"], str) for r in c)

@@ -38,14 +38,21 @@ class Predictor:
 
     def __init__(self, cfg: ExperimentConfig, params,
                  batch_size: int = 16, num_candidates: int = 0,
-                 tokenizer=None, quantize_decode: bool = False):
+                 tokenizer=None, quantize_decode: bool = False,
+                 fused_head: bool = False):
         """``quantize_decode``: serve ``generate_context`` with int8
         weight-only decode (ops/quant.py) — halves the per-step HBM
-        weight stream; prediction/rollout paths are unaffected."""
+        weight stream; prediction/rollout paths are unaffected.
+        ``fused_head``: decode through the fused LM-head+top-k kernel
+        (ops/lmhead_topk.py) — never materializes (B, V) logits; carries
+        that module's ulp-level formulation caveat; composes with
+        ``quantize_decode``.  Applies to the static ``generate_context``
+        path (speculative/batched paths keep the plain head)."""
         self.cfg = cfg
         self.batch_size = batch_size
         self.num_candidates = num_candidates
         self.quantize_decode = quantize_decode
+        self.fused_head = fused_head
         self._quant = None
         # compiled-program caches (generation fns / continuous batchers),
         # LRU-bounded: keys include request-controlled fields
@@ -158,10 +165,15 @@ class Predictor:
 
         def build():
             mllm, variables = self._mllm_variables()
-            make = (make_speculative_generate_fn if speculative
-                    else make_generate_fn)
-            fn = make(mllm, sampling, max_new_tokens, prompt_len,
-                      self.tokenizer.eos_id, self.tokenizer.pad_id)
+            if speculative:
+                fn = make_speculative_generate_fn(
+                    mllm, sampling, max_new_tokens, prompt_len,
+                    self.tokenizer.eos_id, self.tokenizer.pad_id)
+            else:
+                fn = make_generate_fn(
+                    mllm, sampling, max_new_tokens, prompt_len,
+                    self.tokenizer.eos_id, self.tokenizer.pad_id,
+                    fused_head=self.fused_head)
             return fn, variables
 
         return self._cache_get(self._generators, key, build)
