@@ -6,7 +6,13 @@ needed).  The r3 decode-step profile in PARITY.md came from this flow.
 
     python scripts/profile_ops.py --workload decode [--out /tmp/trace]
     python scripts/profile_ops.py --workload forward
+    python scripts/profile_ops.py --workload stage1    # LM fine-tune step
+    python scripts/profile_ops.py --workload joint     # stage-2 joint step
     python scripts/profile_ops.py --parse /tmp/trace   # re-parse only
+
+The train-step workloads profile exactly the benched programs (bench.py
+stage1_step_setup / the joint dots+rbg variant) so per-op floors map 1:1
+onto the PARITY.md train-step numbers.
 """
 from _common import base_parser  # noqa: F401  (sys.path setup)
 import argparse
@@ -38,6 +44,47 @@ def run_workload(name: str, out_dir: str):
         step = jax.jit(lambda p, b: model.apply({"params": p}, b, True))
         key = jax.random.key(0)
         run = lambda k: float(jnp.sum(step(params, batch)))
+    elif name == "stage1":
+        from bench import stage1_step_setup
+        step, params, opt_state, batch = stage1_step_setup(128256)
+        key = jax.random.key(0)
+        state = [params, opt_state]
+
+        def run(k):
+            p, o, m = step(state[0], state[1], batch, k)
+            state[0], state[1] = p, o
+            return float(m["lm_loss"])
+    elif name == "joint":
+        # the optimized joint variant benched in bench.py main (remat +
+        # dots policy + rbg dropout keys, bs16, 18->30, text 512)
+        import dataclasses
+        from bench import build
+        from tsue_tpu.models.tsue import TrajectoryModel
+        from tsue_tpu.train.trainer import (TrainState, make_optimizer,
+                                            make_train_step)
+        cfg, _, params, batch = build(128256, batch_size=16, seq_len=18,
+                                      out_len=30, text_len=512,
+                                      dtype_str="bfloat16")
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model, llama=dataclasses.replace(
+                    cfg.model.llama, remat=True, remat_policy="dots")),
+            train=dataclasses.replace(cfg.train, freeze_regime="joint"))
+        model = TrajectoryModel(cfg.model, 18, 30)
+
+        def apply_fn(vs, b, det, rngs=None, **kw):
+            return model.apply(vs, b, det, rngs=rngs, **kw)
+
+        tx = make_optimizer(cfg, params)
+        state = [TrainState.create(apply_fn, params, tx)]
+        step = jax.jit(make_train_step(cfg), donate_argnums=0)
+        key = jax.random.key(0, impl="rbg")
+
+        def run(k):
+            st, m = step(state[0], batch, k)
+            state[0] = st
+            return float(m["loss"])
     else:
         raise SystemExit(f"unknown workload {name}")
 
@@ -53,7 +100,7 @@ def run_workload(name: str, out_dir: str):
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--workload", default="decode",
-                   choices=["decode", "forward"])
+                   choices=["decode", "forward", "stage1", "joint"])
     p.add_argument("--out", default="/tmp/tsue_profile")
     p.add_argument("--parse", default=None,
                    help="skip tracing; parse this trace dir")

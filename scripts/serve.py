@@ -65,7 +65,8 @@ def _build_predictor(args, cfg):
                      num_candidates=args.candidates,
                      tokenizer=get_tokenizer(args.tokenizer),
                      quantize_decode=args.quantize_decode,
-                     fused_head=args.fused_head)
+                     fused_head=args.fused_head,
+                     quantize_kv=args.quantize_kv)
 
 
 def _jsonable(rec):
@@ -209,6 +210,9 @@ def main():
     p.add_argument("--serve-batch-size", type=int, default=16,
                    help="fixed compiled batch size")
     p.add_argument("--quantize-decode", action="store_true")
+    p.add_argument("--quantize-kv", action="store_true",
+                   help="int8 KV caches for every generation path "
+                        "(ops/kv_quant.py; composes with the other two)")
     p.add_argument("--fused-head", action="store_true",
                    help="decode /generate through the fused LM-head+top-k "
                         "kernel (ops/lmhead_topk.py; static batcher, "

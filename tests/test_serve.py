@@ -425,3 +425,41 @@ def test_fused_head_predictor_matches_plain():
                     fused_head=True, quantize_decode=True)
     c = p_q.generate_context(tracks, max_new_tokens=5)
     assert len(c) == 2 and all(isinstance(r["context"], str) for r in c)
+
+
+def test_quantize_kv_predictor_all_paths():
+    """quantize_kv=True serves every generation path (static,
+    speculative, batched) with int8 caches; static speculative greedy
+    stays exactly the static plain greedy (both over the same int8
+    cache), and all three compose with quantize_decode."""
+    import dataclasses
+    from tsue_tpu.config import LlamaConfig, QFormerConfig
+    from tsue_tpu.data.tokenizer import ByteTokenizer
+    from tsue_tpu.ops.sampling import SamplingConfig
+    tok = ByteTokenizer()
+    cfg = dataclasses.replace(
+        CFG,
+        data=DataConfig(seq_len=6, out_len=6, max_length=640),
+        model=ModelConfig(
+            llama=LlamaConfig.tiny(tok.vocab_size),
+            qformer=QFormerConfig(num_encoder_layers=1, num_decoder_layers=1,
+                                  num_query_tokens=4),
+            lane=LaneEncoderConfig(d_model=16, nhead=2, num_layers=1),
+            ltsf=LTSFConfig(d_model=16, polygon_embed_dim=16)))
+    model = TrajectoryModel(cfg.model, 6, 6)
+    dummy = Predictor(cfg, None, batch_size=2)._dummy_batch()
+    vs = model.init({"params": jax.random.key(0),
+                     "dropout": jax.random.key(1)}, dummy, False)
+    p = Predictor(cfg, vs["params"], batch_size=2, quantize_kv=True,
+                  quantize_decode=True)
+    tracks = make_synthetic_tracks(num_tracks=2, track_len=300, seed=9)
+    greedy = SamplingConfig(do_sample=False)
+    plain = p.generate_context(tracks, max_new_tokens=6, sampling=greedy)
+    assert len(plain) == 2
+    assert all(isinstance(r["context"], str) for r in plain)
+    spec = p.generate_context(tracks, max_new_tokens=6, speculative=True)
+    assert [r["context"] for r in spec] == [r["context"] for r in plain]
+    batched = p.generate_context_batched(tracks, max_new_tokens=6,
+                                         sampling=greedy)
+    assert len(batched) == 2
+    assert all(isinstance(r["context"], str) for r in batched)

@@ -273,3 +273,33 @@ def test_window_mode_geometry_insensitive(mllm_and_vars):
                               list(reversed(reqs)))
     for i in range(len(reqs)):
         np.testing.assert_array_equal(a[i], b[len(reqs) - 1 - i])
+
+
+def test_quantized_kv_pool_isolated_and_window_bitwise(mllm_and_vars):
+    """int8 KV pool (quantize_kv=True): a request's tokens are still
+    independent of pool geometry/scheduling, and the speculative window
+    mode is bitwise the plain quantized pool — the invariants survive
+    quantized cache writes because window and step writes quantize the
+    same values identically (ops/kv_quant.py)."""
+    mllm, variables = mllm_and_vars
+    sampling = SamplingConfig(temperature=1.0, top_k=8, top_p=0.9,
+                              repetition_penalty=1.2,
+                              no_repeat_ngram_size=3)
+    reqs = _requests(4, seed=13)
+    kw = dict(prompt_len=PROMPT_LEN, max_new_tokens=8, eos_id=EOS,
+              quantize_kv=True)
+    a = ContinuousBatcher(mllm, variables, sampling, num_slots=1,
+                          chunk=8, **kw).run(reqs)
+    b = ContinuousBatcher(mllm, variables, sampling, num_slots=4,
+                          chunk=2, **kw).run(list(reversed(reqs)))
+    w = ContinuousBatcher(mllm, variables, sampling, num_slots=2,
+                          chunk=3, window=4, **kw).run(reqs)
+    for i in range(len(reqs)):
+        np.testing.assert_array_equal(a[i], b[len(reqs) - 1 - i])
+        np.testing.assert_array_equal(a[i], w[i])
+    # the pool's caches really are int8 (engagement, not a silent bf16
+    # fallback)
+    state = ContinuousBatcher(mllm, variables, sampling, num_slots=2,
+                              chunk=1, **kw)._init_state()
+    assert state.caches[0][0].dtype == jnp.int8
+    assert len(state.caches[0]) == 4

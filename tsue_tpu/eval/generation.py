@@ -47,7 +47,8 @@ def head_arrays(mllm, variables):
 def make_generate_fn(mllm, cfg: SamplingConfig, max_new_tokens: int,
                      prompt_len: int, eos_id: int, pad_id: int = 0,
                      early_exit_chunk: Optional[int] = 8,
-                     fused_head: bool = False):
+                     fused_head: bool = False,
+                     quantize_kv: bool = False):
     """Build a jitted (variables, vision, prompt_ids, prompt_mask, rng) ->
     (B, max_new_tokens) int32 generator for fixed shapes.
 
@@ -74,6 +75,12 @@ def make_generate_fn(mllm, cfg: SamplingConfig, max_new_tokens: int,
     chain with the kernel's documented formulation caveats (ulp-level
     matmul rounding, >88-way boundary tie spill); requires
     0 < top_k < 128 for sampled configs and a 128-multiple vocab.
+
+    ``quantize_kv=True`` stores the decode KV cache per-token-per-head
+    int8 (ops/kv_quant.py): prefill stays exact bf16 and the cache is
+    quantized ONCE before the decode scan; every decode step then reads
+    (and writes) half the cache bytes, dequantized in VMEM by the int8
+    decode-attention kernel.  Composes with int8 weights and fused_head.
     """
     if fused_head:
         from tsue_tpu.ops.lmhead_topk import (LANES, lmhead_topk,
@@ -101,6 +108,9 @@ def make_generate_fn(mllm, cfg: SamplingConfig, max_new_tokens: int,
         caches, last_hidden, prefix_len, fmask = mllm.apply(
             variables, vision, prompt_ids, prompt_mask, cache_len,
             method=mllm.prefill)
+        if quantize_kv:
+            from tsue_tpu.ops.kv_quant import quantize_cache
+            caches = quantize_cache(caches)
         if fused_head:
             head0 = last_hidden          # the hidden carry starts here
             w_head, quant_head = head_arrays(mllm, variables)

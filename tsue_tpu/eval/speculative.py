@@ -146,7 +146,8 @@ def make_speculative_generate_fn(mllm, cfg: SamplingConfig,
                                  max_new_tokens: int, prompt_len: int,
                                  eos_id: int, pad_id: int = 0,
                                  window: int = 8, draft_ngram: int = 3,
-                                 with_stats: bool = False):
+                                 with_stats: bool = False,
+                                 quantize_kv: bool = False):
     """Build a jitted (variables, vision, prompt_ids, prompt_mask[, rng])
     -> (B, max_new_tokens) int32 generator (same output contract as
     make_generate_fn).
@@ -184,6 +185,11 @@ def make_speculative_generate_fn(mllm, cfg: SamplingConfig,
         caches, last_hidden, prefix_len, fmask = mllm.apply(
             variables, vision, prompt_ids, prompt_mask, cache_len,
             method=mllm.prefill)
+        if quantize_kv:
+            # int8 KV cache (ops/kv_quant.py): exact prefill, quantized
+            # once here; window forwards read/write int8 cache bytes
+            from tsue_tpu.ops.kv_quant import quantize_cache
+            caches = quantize_cache(caches)
         logits0 = mllm.apply(
             variables, last_hidden,
             method=lambda m, h: m.llama_mod.logits_from_hidden(

@@ -191,6 +191,21 @@ class LlamaAttention(nn.Module):
 
         is_causal = True
         rope = None
+        if kv_cache is not None and len(kv_cache) == 4:
+            # int8 KV cache (ops/kv_quant.py): quantize the new rows on
+            # the way in, attend over the int8 cache (dequantized in
+            # VMEM by the Pallas kernel) — the cache's HBM stream is
+            # halved, which dominates the step at large decode batch
+            from tsue_tpu.ops.kv_quant import attend_int8_kv, update_kv_int8
+            q = apply_rope(q, positions, inv_freq)
+            k = apply_rope(k, positions, inv_freq)
+            kv_cache = update_kv_int8(kv_cache, k, v, cache_index)
+            out = attend_int8_kv(q, kv_cache, mask)
+            out = out.reshape(B, T, c.num_heads * c.head_dim)
+            out = LoRADense(c.hidden_size, name="o_proj",
+                            lora_r=lr if "o_proj" in c.lora_targets else 0,
+                            **lora_kw)(out, deterministic, quant_ok=quant_ok)
+            return out, kv_cache
         if kv_cache is not None:
             # decode: the cache stores roped keys, so rope before appending
             q = apply_rope(q, positions, inv_freq)

@@ -1,0 +1,216 @@
+"""Int8 KV cache: halve the decode loop's cache stream.
+
+After int8 weights (ops/quant.py), the KV cache is the remaining
+B-proportional HBM stream of a decode step: at Llama-1B dims the bf16
+cache read is ``B * S * Hkv * Dh * 2 (k+v) * 2 bytes * L`` — ~2.4 GB/step
+at bs128/S=576, i.e. it overtakes the (fixed-size) weight stream as batch
+grows.  This module stores the cache per-token-per-head symmetric int8
+(``k ~ k8 * ks``) and a Pallas decode-attention kernel dequantizes in
+VMEM, so HBM only ever sees the int8 bytes.
+
+Design (mirrors ops/quant.py's opt-in discipline):
+
+- Prefill is EXACT: the prefix is prefilled into a bf16 cache as always
+  and :func:`quantize_cache` converts it once before the decode scan —
+  prefill attention never sees quantization error, and the conversion
+  cost amortizes over the whole generation.
+- Decode writes quantize the new K/V rows on the way into the cache
+  (same scatter patterns as the bf16 path: scalar slice, per-row slots,
+  W-token windows), so the cache never holds bf16.
+- Decode reads go through :func:`attend_int8_kv`: a Pallas kernel
+  (grid over batch rows, whole-row (S, Hkv*Dh) int8 blocks, GQA-native
+  lane slicing like ops/flash.py) or the XLA reference formulation
+  (CPU / parity tests / non-qualifying shapes).  Within a row the
+  kernel's math is the same fp32 softmax(QK^T)V as the XLA path.
+
+A cache layer is a 4-tuple ``(k8, ks, v8, vs)`` — models/llama.py's
+attention branches on the tuple arity, everything else threads the cache
+pytree opaquely.  Opt-in via ``serve.Predictor(quantize_kv=True)`` /
+``make_generate_fn(..., quantize_kv=True)``; quality bound pinned by
+tests/test_quant.py.
+
+No reference equivalent (the reference serves fp32 HF generate,
+ref scripts/train.py:606-654); this is a TPU-native serving lever.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(..., Dh) -> (int8 (..., Dh), f32 scale (...,)) — symmetric
+    per-vector (per token, per head) so RoPE'd keys quantize on their own
+    magnitude."""
+    a = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(a, 1e-8) / 127.0
+    x8 = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
+                  -127, 127).astype(jnp.int8)
+    return x8, scale
+
+
+def dequantize_kv(x8: jnp.ndarray, scale: jnp.ndarray,
+                  dtype=jnp.bfloat16) -> jnp.ndarray:
+    return (x8.astype(jnp.float32) * scale[..., None]).astype(dtype)
+
+
+def quantize_cache(caches):
+    """bf16 per-layer (k, v) list -> int8 per-layer (k8, ks, v8, vs) list.
+    Called ONCE after prefill (generation) or admission (batching)."""
+    out = []
+    for k, v in caches:
+        k8, ks = quantize_kv(k)
+        v8, vs = quantize_kv(v)
+        out.append((k8, ks, v8, vs))
+    return out
+
+
+def is_quantized_cache(layer_cache) -> bool:
+    return layer_cache is not None and len(layer_cache) == 4
+
+
+def update_kv_int8(layer_cache, k, v, cache_index):
+    """Scatter new bf16 K/V rows (quantized on the way in) into an int8
+    layer cache, mirroring the two write patterns of models/llama.py:
+    scalar ``cache_index`` (dynamic slice at a shared offset) and per-row
+    (B,) slots (continuous batching / speculative windows)."""
+    k8n, ksn = quantize_kv(k)
+    v8n, vsn = quantize_kv(v)
+    k8, ks, v8, vs = layer_cache
+    B, T = k.shape[0], k.shape[1]
+    if getattr(cache_index, "ndim", 0) == 1:
+        rows = jnp.arange(B)[:, None]
+        cols = cache_index[:, None] + jnp.arange(T)[None, :]
+        k8 = k8.at[rows, cols].set(k8n)
+        ks = ks.at[rows, cols].set(ksn)
+        v8 = v8.at[rows, cols].set(v8n)
+        vs = vs.at[rows, cols].set(vsn)
+    else:
+        k8 = jax.lax.dynamic_update_slice(k8, k8n, (0, cache_index, 0, 0))
+        ks = jax.lax.dynamic_update_slice(ks, ksn, (0, cache_index, 0))
+        v8 = jax.lax.dynamic_update_slice(v8, v8n, (0, cache_index, 0, 0))
+        vs = jax.lax.dynamic_update_slice(vs, vsn, (0, cache_index, 0))
+    return (k8, ks, v8, vs)
+
+
+# ---------------------------------------------------------------------
+# Decode attention over the int8 cache
+# ---------------------------------------------------------------------
+
+
+def _attend_kernel(q_ref, k8_ref, ks_ref, v8_ref, vs_ref, mask_ref,
+                   out_ref, *, scale: float, groups: int, head_dim: int,
+                   kv_heads: int):
+    """One batch row: all kv heads' int8 K/V dequantized in VMEM, GQA
+    query heads as lane slices (same layout idea as ops/flash.py's
+    group-lane path).  q/out: (1, Tq, Hq*D); k8/v8: (1, S, Hkv*D);
+    ks/vs: (1, S, Hkv) f32; mask: (1, Tq, S) int32."""
+    D = head_dim
+    valid = mask_ref[0] > 0                          # (Tq, S)
+    for h in range(kv_heads):                        # static unroll
+        kh = k8_ref[0, :, h * D:(h + 1) * D].astype(jnp.float32) \
+            * ks_ref[0, :, h][:, None]               # (S, D) f32
+        vh = v8_ref[0, :, h * D:(h + 1) * D].astype(jnp.float32) \
+            * vs_ref[0, :, h][:, None]
+        for g in range(groups):
+            j = h * groups + g                       # query head index
+            qg = q_ref[0, :, j * D:(j + 1) * D].astype(jnp.float32)
+            logits = jax.lax.dot_general(
+                qg, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale   # (Tq, S)
+            logits = jnp.where(valid, logits, NEG_INF)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            s = jnp.sum(p, axis=-1, keepdims=True)
+            p = p / jnp.maximum(s, 1e-30)
+            out_ref[0, :, j * D:(j + 1) * D] = jax.lax.dot_general(
+                p, vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+
+def _attend_int8_impl(q, k8, ks, v8, vs, mask3, scale, interpret: bool):
+    B, Tq, Hq, D = q.shape
+    S, Hkv = k8.shape[1], k8.shape[2]
+    G = Hq // Hkv
+    cost = pl.CostEstimate(
+        flops=4 * B * Hq * Tq * S * D,
+        bytes_accessed=2 * B * S * Hkv * D + 2 * B * Tq * Hq * D * 2
+        + 2 * B * S * Hkv * 4,
+        transcendentals=B * Hq * Tq * S)
+    out = pl.pallas_call(
+        functools.partial(_attend_kernel, scale=scale, groups=G,
+                          head_dim=D, kv_heads=Hkv),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Tq, Hq * D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, Hkv * D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, Hkv), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, Hkv * D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, Hkv), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tq, S), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Tq, Hq * D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Tq, Hq * D), q.dtype),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(q.reshape(B, Tq, Hq * D), k8.reshape(B, S, Hkv * D), ks,
+      v8.reshape(B, S, Hkv * D), vs, mask3.astype(jnp.int32))
+    return out.reshape(B, Tq, Hq, D)
+
+
+def _mask3(mask, B, Tq, S):
+    """Normalize the decode masks to (B, Tq, S) bool: (B, S) key-validity
+    (decode_step) or (B, 1, Tq, S) per-query (decode_window)."""
+    if mask is None:
+        return jnp.ones((B, Tq, S), bool)
+    if mask.ndim == 2:                               # (B, S)
+        return jnp.broadcast_to(mask.astype(bool)[:, None, :], (B, Tq, S))
+    if mask.ndim == 4:                               # (B, 1|H, Tq, S)
+        return jnp.broadcast_to(mask.astype(bool)[:, 0], (B, Tq, S))
+    return jnp.broadcast_to(mask.astype(bool), (B, Tq, S))
+
+
+def attend_int8_kv(q, layer_cache, mask, scale: Optional[float] = None,
+                   interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Decode attention over an int8 layer cache.
+
+    q: (B, Tq, Hq, Dh) roped queries (Tq = 1 or a speculative window);
+    layer_cache: (k8, ks, v8, vs); mask: the decode kv mask ((B, S) or
+    (B, 1, Tq, S)).  Returns (B, Tq, Hq, Dh) in q.dtype.
+
+    Kernel path on accelerators when the group lanes tile (G*Dh % 128);
+    otherwise (CPU tests force interpret=True for parity instead) the XLA
+    reference formulation over the dequantized cache — same fp32 math.
+    """
+    k8, ks, v8, vs = layer_cache
+    B, Tq, Hq, D = q.shape
+    S, Hkv = k8.shape[1], k8.shape[2]
+    if scale is None:
+        scale = D ** -0.5
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    if Hq % Hkv == 0 and ((Hq // Hkv) * D) % 128 == 0 \
+            and (Hkv * D) % 128 == 0:
+        m3 = _mask3(mask, B, Tq, S)
+        return _attend_int8_impl(q, k8, ks, v8, vs, m3, float(scale),
+                                 bool(interpret))
+    from tsue_tpu.ops.attention import _xla_attention
+    k = dequantize_kv(k8, ks, q.dtype)
+    v = dequantize_kv(v8, vs, q.dtype)
+    if mask is not None and mask.ndim == 2:
+        mask = mask.astype(bool)
+    return _xla_attention(q, k, v, mask, False, float(scale))

@@ -39,7 +39,7 @@ class Predictor:
     def __init__(self, cfg: ExperimentConfig, params,
                  batch_size: int = 16, num_candidates: int = 0,
                  tokenizer=None, quantize_decode: bool = False,
-                 fused_head: bool = False):
+                 fused_head: bool = False, quantize_kv: bool = False):
         """``quantize_decode``: serve ``generate_context`` with int8
         weight-only decode (ops/quant.py) — halves the per-step HBM
         weight stream; prediction/rollout paths are unaffected.
@@ -47,12 +47,17 @@ class Predictor:
         (ops/lmhead_topk.py) — never materializes (B, V) logits; carries
         that module's ulp-level formulation caveat; composes with
         ``quantize_decode``.  Applies to the static ``generate_context``
-        path (speculative/batched paths keep the plain head)."""
+        path (speculative/batched paths keep the plain head).
+        ``quantize_kv``: int8 KV caches for every generation path —
+        static, speculative AND batched (ops/kv_quant.py; prefill stays
+        exact, the decode cache stream halves); composes with both
+        switches above."""
         self.cfg = cfg
         self.batch_size = batch_size
         self.num_candidates = num_candidates
         self.quantize_decode = quantize_decode
         self.fused_head = fused_head
+        self.quantize_kv = quantize_kv
         self._quant = None
         # compiled-program caches (generation fns / continuous batchers),
         # LRU-bounded: keys include request-controlled fields
@@ -168,12 +173,14 @@ class Predictor:
             if speculative:
                 fn = make_speculative_generate_fn(
                     mllm, sampling, max_new_tokens, prompt_len,
-                    self.tokenizer.eos_id, self.tokenizer.pad_id)
+                    self.tokenizer.eos_id, self.tokenizer.pad_id,
+                    quantize_kv=self.quantize_kv)
             else:
                 fn = make_generate_fn(
                     mllm, sampling, max_new_tokens, prompt_len,
                     self.tokenizer.eos_id, self.tokenizer.pad_id,
-                    fused_head=self.fused_head)
+                    fused_head=self.fused_head,
+                    quantize_kv=self.quantize_kv)
             return fn, variables
 
         return self._cache_get(self._generators, key, build)
@@ -482,7 +489,7 @@ class Predictor:
                         else self.cfg.data.max_length),
             max_new_tokens=max_new_tokens,
             eos_id=self.tokenizer.eos_id, pad_id=self.tokenizer.pad_id,
-            chunk=chunk, window=window)
+            chunk=chunk, window=window, quantize_kv=self.quantize_kv)
 
     def predict(self, tracks: Sequence[dict],
                 rng: Optional[jax.Array] = None) -> List[Dict]:

@@ -57,7 +57,8 @@ from tsue_tpu.ops.sampling import (SamplingConfig,
 
 class PoolState(NamedTuple):
     """Fixed-shape device state for the whole slot pool."""
-    caches: tuple          # per layer: (k, v) each (B, cache_len, kv, hd)
+    caches: tuple          # per layer: (k, v) each (B, cache_len, kv, hd),
+                           # or (k8, ks, v8, vs) int8 (quantize_kv)
     history: jnp.ndarray   # (B, prompt_len + max_new) sampler history
     hlen: jnp.ndarray      # (B,) valid history length
     logits: jnp.ndarray    # (B, V) last logits per slot
@@ -83,14 +84,21 @@ class ContinuousBatcher:
     def __init__(self, mllm, variables, sampling: SamplingConfig,
                  num_slots: int, prompt_len: int, max_new_tokens: int,
                  eos_id: int, pad_id: int = 0, chunk: int = 8,
-                 window: int = 1, draft_ngram: int = 3):
+                 window: int = 1, draft_ngram: int = 3,
+                 quantize_kv: bool = False):
         """``window``: 1 = plain token-at-a-time decoding; >= 2 enables
         speculative mode — each tick scores the committed token plus
         window-1 prompt-lookup drafts in one ``decode_window`` forward
         (``draft_ngram`` = the n of the suffix lookup).  Output is
-        bitwise the window=1 pool's (module docstring)."""
+        bitwise the window=1 pool's (module docstring).
+
+        ``quantize_kv``: store the pool's KV caches per-token int8
+        (ops/kv_quant.py) — admission prefills exactly in bf16 and
+        quantizes the new rows before scattering them into the pool;
+        decode ticks read/write half the cache bytes."""
         if window < 1:
             raise ValueError("window must be >= 1")
+        self.quantize_kv = quantize_kv
         self.mllm = mllm
         self.variables = variables
         self.sampling = sampling
@@ -128,8 +136,17 @@ class ContinuousBatcher:
         B, L, V = self.B, self.cache_len, c.vocab_size
         dt = self.mllm.dtype
         shape = (B, L, c.num_kv_heads, c.head_dim)
-        caches = tuple((jnp.zeros(shape, dt), jnp.zeros(shape, dt))
-                       for _ in range(c.num_layers))
+        if self.quantize_kv:
+            # distinct arrays per slot: the state is donated, and aliased
+            # buffers would be donated twice in one Execute()
+            caches = tuple((jnp.zeros(shape, jnp.int8),
+                            jnp.zeros(shape[:3], jnp.float32),
+                            jnp.zeros(shape, jnp.int8),
+                            jnp.zeros(shape[:3], jnp.float32))
+                           for _ in range(c.num_layers))
+        else:
+            caches = tuple((jnp.zeros(shape, dt), jnp.zeros(shape, dt))
+                           for _ in range(c.num_layers))
         return PoolState(
             caches=caches,
             history=jnp.full((B, self._hist_len), self.pad_id, jnp.int32),
@@ -158,9 +175,14 @@ class ContinuousBatcher:
             variables, last_hidden,
             method=lambda m, h: m.llama_mod.logits_from_hidden(
                 h, quant_ok=True))
+        if self.quantize_kv:
+            # exact bf16 prefill above; the admitted rows quantize ONCE
+            # here on their way into the int8 pool (ops/kv_quant.py)
+            from tsue_tpu.ops.kv_quant import quantize_cache
+            caches_a = quantize_cache(caches_a)
         caches = tuple(
-            (ck.at[slots].set(nk), cv.at[slots].set(nv))
-            for (ck, cv), (nk, nv) in zip(state.caches, caches_a))
+            tuple(c.at[slots].set(n) for c, n in zip(layer, new))
+            for layer, new in zip(state.caches, caches_a))
         hist_rows = jnp.concatenate(
             [prompt_ids,
              jnp.full((A, self._hist_len - self.prompt_len), self.pad_id,
