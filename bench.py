@@ -169,10 +169,13 @@ def bench_decode(vocab_size: int, batch_sizes=(16,), prompt_len: int = 144,
     init; per CLAUDE.md, cross-run comparisons on the shared tunnel are
     noise -- only same-process interleaved numbers are comparable).
     ``int8=True`` additionally times the int8 weight-only decode
-    (ops/quant.py) interleaved with the bf16 baseline.
+    (ops/quant.py) AND the fully-quantized serving point "int8kv"
+    (int8 weights + int8 KV cache, ops/kv_quant.py) interleaved with the
+    bf16 baseline.
     Returns {variant: ({bs: tok/s}, {bs: hbm_utilization})} with variants
-    "base" (and "int8"); utilization is against each variant's own
-    streamed-byte count, so it shows distance to the same 820 GB/s roof.
+    "base" (and "int8"/"int8kv"); utilization is against each variant's
+    own streamed-byte count, so it shows distance to the same 820 GB/s
+    roof.
 
     Roofline: decode is bandwidth-bound -- every step streams the full
     bf16 weight set (params x 2 bytes; the LM head reads the tied
@@ -212,18 +215,24 @@ def bench_decode(vocab_size: int, batch_sizes=(16,), prompt_len: int = 144,
                            eos_id=vocab_size - 1, pad_id=0)
     key = jax.random.key(0)
 
-    variants = {"base": variables}
+    variants = {"base": (variables, gen)}
     n_q = 0
     if int8:
         from tsue_tpu.ops.quant import quantize_llama_params
         qt = jax.jit(quantize_llama_params)(variables["params"])
-        variants["int8"] = {**variables, "quant": qt}
+        qvars = {**variables, "quant": qt}
+        variants["int8"] = (qvars, gen)
         n_q = sum(np.prod(x.shape) for x in jax.tree.leaves(qt)
                   if x.dtype == jnp.int8)
+        gen_kv = make_generate_fn(mllm, SamplingConfig(), max_new,
+                                  prompt_len, eos_id=vocab_size - 1,
+                                  pad_id=0, quantize_kv=True)
+        variants["int8kv"] = (qvars, gen_kv)
 
     def run(name, bs, k):
-        return int(np.asarray(gen(
-            variants[name], vision[:bs], prompt_ids[:bs],
+        vs, g = variants[name]
+        return int(np.asarray(g(
+            vs, vision[:bs], prompt_ids[:bs],
             prompt_mask[:bs], k)).sum())
 
     combos = [(n, bs) for bs in batch_sizes for n in variants]
@@ -243,15 +252,19 @@ def bench_decode(vocab_size: int, batch_sizes=(16,), prompt_len: int = 144,
     # the bf16 tied-embedding matmul read (the token gather is B rows).
     c = llama
     n_img = mllm.qformer.num_query_tokens
-    weight_bytes = {"base": float(n_params) * 2.0,
-                    "int8": float(n_params - n_q) * 2.0 + float(n_q)}
+    i8w = float(n_params - n_q) * 2.0 + float(n_q)
+    weight_bytes = {"base": float(n_params) * 2.0, "int8": i8w,
+                    "int8kv": i8w}
     avg_len = prompt_len + n_img + max_new / 2.0
     out = {}
     for name in variants:
         tok_per_sec, hbm_util = {}, {}
         for bs in batch_sizes:
+            # int8kv: cache tokens stream 1 byte + a f32 scale per
+            # (token, head) vector (Dh values share one scale)
+            kv_elt = (1.0 + 4.0 / c.head_dim) if name == "int8kv" else 2.0
             kv_bytes = (bs * avg_len * c.num_layers * 2 * c.num_kv_heads
-                        * c.head_dim * 2.0)
+                        * c.head_dim * kv_elt)
             steps_per_sec = max_new / best[(name, bs)]
             tok_per_sec[bs] = bs * steps_per_sec
             hbm_util[bs] = steps_per_sec * (weight_bytes[name] + kv_bytes) \
@@ -493,10 +506,13 @@ def main():
     decode = bench_decode(REAL_VOCAB, batch_sizes=sweep, int8=True)
     real_tok, real_util = decode["base"]
     i8_tok, i8_util = decode["int8"]
+    kv_tok, kv_util = decode["int8kv"]
     for bs in sweep:
         log(f"decode real-vocab bs{bs}: {real_tok[bs]:.0f} tok/s "
             f"(HBM util {real_util[bs]*100:.0f}%) | int8 "
-            f"{i8_tok[bs]:.0f} tok/s (util {i8_util[bs]*100:.0f}%)")
+            f"{i8_tok[bs]:.0f} tok/s (util {i8_util[bs]*100:.0f}%) | "
+            f"int8+kv8 {kv_tok[bs]:.0f} tok/s "
+            f"(util {kv_util[bs]*100:.0f}%)")
     byte_tok, _ = bench_decode(BYTE_VOCAB)["base"]
     log(f"decode byte-vocab: {byte_tok[16]:.0f} tok/s")
     detail["decode_tok_per_sec_vocab128256"] = round(real_tok[16], 1)
@@ -508,6 +524,10 @@ def main():
         str(bs): round(i8_tok[bs], 1) for bs in sweep}
     detail["decode_hbm_utilization_int8_by_bs"] = {
         str(bs): round(i8_util[bs], 3) for bs in sweep}
+    detail["decode_tok_per_sec_vocab128256_int8kv_by_bs"] = {
+        str(bs): round(kv_tok[bs], 1) for bs in sweep}
+    detail["decode_hbm_utilization_int8kv_by_bs"] = {
+        str(bs): round(kv_util[bs], 3) for bs in sweep}
     detail["decode_tok_per_sec_vocab384"] = round(byte_tok[16], 1)
 
     # --- round-1 continuity: byte-tokenizer vocab (384) ------------------

@@ -163,6 +163,10 @@ def make_speculative_generate_fn(mllm, cfg: SamplingConfig,
     the n of the suffix lookup.  ``with_stats=True`` returns
     (tokens, n_forwards (B,)) — n_forwards/tokens is the measured
     speculative win (see scripts/ab_speculative.py).
+    ``quantize_kv=True``: int8 KV cache (ops/kv_quant.py; exact prefill,
+    quantized once, half the cache bytes per window forward) — the
+    speculative==plain invariant survives because window and step writes
+    quantize identical values identically (tests/test_kv_quant.py).
     """
     if window < 2:
         raise ValueError("window must be >= 2 (1 target + >=1 draft)")

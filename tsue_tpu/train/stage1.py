@@ -41,11 +41,16 @@ def make_stage1_optimizer(cfg: ExperimentConfig, params, label_fn=None):
     inner = optax.chain(
         optax.clip_by_global_norm(cfg.train.grad_clip or 1.0),
         optax.adamw(cfg.train.lr, weight_decay=cfg.train.weight_decay))
-    tx = optax.multi_transform(
-        {"train": inner, "freeze": optax.set_to_zero()}, labels)
     if cfg.train.nan_guard:
-        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
-    return tx
+        # guard INSIDE the "train" branch: wrapping the whole
+        # multi_transform would make the finiteness check consume every
+        # FROZEN gradient too, keeping the frozen base's dW matmuls alive
+        # against XLA DCE (measured on the bs8 stage-1 step — see
+        # scripts/ab_frozen_dce.py / PARITY.md).  A non-finite loss still
+        # reaches the trainable grads, so skip-bad-step is identical.
+        inner = optax.apply_if_finite(inner, max_consecutive_errors=100)
+    return optax.multi_transform(
+        {"train": inner, "freeze": optax.set_to_zero()}, labels)
 
 
 def make_stage1_train_step(mllm, tx):

@@ -93,11 +93,15 @@ def make_optimizer(cfg: ExperimentConfig, params) -> optax.GradientTransformatio
     labels = jax.tree_util.tree_map_with_path(
         lambda path, _: freeze_label(_path_strs(path), tcfg.freeze_regime),
         params)
-    tx = optax.multi_transform(
-        {"train": inner, "freeze": optax.set_to_zero()}, labels)
     if tcfg.nan_guard:
-        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
-    return tx
+        # guard the TRAIN branch only (see train/stage1.py note): a
+        # whole-tree finiteness check would keep every frozen param's dW
+        # matmul alive against XLA DCE in the lora_only / full_freeze
+        # regimes; a non-finite loss still reaches the trainable grads,
+        # so bad steps are skipped identically
+        inner = optax.apply_if_finite(inner, max_consecutive_errors=100)
+    return optax.multi_transform(
+        {"train": inner, "freeze": optax.set_to_zero()}, labels)
 
 
 # ---------------------------------------------------------------------------
