@@ -274,7 +274,8 @@ def bench_decode(vocab_size: int, batch_sizes=(16,), prompt_len: int = 144,
 
 
 def stage1_step_setup(vocab_size: int, batch_size: int = 8,
-                      text_len: int = 512):
+                      text_len: int = 512, loss_chunk: int = 128,
+                      remat_policy: str = ""):
     """Build the canonical stage-1 LM-step workload: the jitted donated
     step, initialized (params, opt_state) and a synthetic batch.  Shared
     by bench_stage1_step and scripts/ab_rng_steps.py so the PARITY-cited
@@ -283,8 +284,10 @@ def stage1_step_setup(vocab_size: int, batch_size: int = 8,
     Chunked CE (models/llama.py causal_lm_loss_chunked) instead of
     per-layer remat: the dense full-vocab loss (f32 logits (B, 528,
     128256) ~2.2 GB + d_logits) OOMs without remat, while the chunked
-    loss fits WITHOUT remat and skips the layer recompute — measured
-    359 ms vs 385 ms (remat+dense) vs OOM (no-remat dense) at bs8.
+    loss fits WITHOUT remat and skips the layer recompute.  Measured
+    shape sweep (scripts/ab_stage1_shape.py, post frozen-dW DCE):
+    bs8+chunk128 363 ms / bs8+chunk264 321 / bs16+chunk264+dots 528
+    (33.0 ms/sample — the throughput shape; bs16 needs remat headroom).
     """
     import jax
     import jax.numpy as jnp
@@ -294,7 +297,9 @@ def stage1_step_setup(vocab_size: int, batch_size: int = 8,
 
     import dataclasses
     cfg = _cfg(vocab_size, batch_size, 18, 18, text_len, "bfloat16")
-    llama = dataclasses.replace(cfg.model.llama, loss_chunk=128)
+    llama = dataclasses.replace(cfg.model.llama, loss_chunk=loss_chunk,
+                                remat=bool(remat_policy),
+                                remat_policy=remat_policy or "full")
     mllm = MultiModalLLM(llama, cfg.model.qformer, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     batch = {
@@ -323,7 +328,8 @@ def stage1_step_setup(vocab_size: int, batch_size: int = 8,
 
 
 def bench_stage1_step(vocab_size: int, batch_size: int = 8,
-                      text_len: int = 512, iters: int = 3):
+                      text_len: int = 512, iters: int = 3,
+                      loss_chunk: int = 128, remat_policy: str = ""):
     """Stage-1 MLLM LM fine-tune step latency, ms (fwd+bwd+update of the
     causal-LM loss over the fused [img || text] sequence at the full
     vocab).  The production path: train/stage1.py make_stage1_train_step
@@ -331,7 +337,8 @@ def bench_stage1_step(vocab_size: int, batch_size: int = 8,
     Ref flow: the training side of scripts/check_generation.py."""
     import jax
     step, params, opt_state, batch = stage1_step_setup(
-        vocab_size, batch_size, text_len)
+        vocab_size, batch_size, text_len, loss_chunk=loss_chunk,
+        remat_policy=remat_policy)
     k = jax.random.key(0)
     params, opt_state, m = step(params, opt_state, batch, k)
     float(m["lm_loss"])  # warmup + compile
@@ -494,6 +501,16 @@ def main():
     s1_ms = bench_stage1_step(REAL_VOCAB)
     log(f"stage-1 LM step: {s1_ms:.0f} ms (bs8, text 512, full vocab)")
     detail["stage1_lm_step_ms_bs8"] = round(s1_ms, 1)
+    # optimized shape (scripts/ab_stage1_shape.py): bs16 + loss_chunk=T/2
+    # + dots remat — 33.0 ms/sample vs 45.4 at bs8+chunk128, ~50% MFU on
+    # the 6NBT convention (the step itself executes fewer FLOPs since the
+    # frozen-dW DCE fix, scripts/ab_frozen_dce.py)
+    s1o_ms = bench_stage1_step(REAL_VOCAB, batch_size=16, loss_chunk=264,
+                               remat_policy="dots")
+    log(f"stage-1 LM step optimized: {s1o_ms:.0f} ms "
+        f"(bs16, chunk 264, dots = {s1o_ms/16:.1f} ms/sample)")
+    detail["stage1_lm_step_ms_bs16_optimized"] = round(s1o_ms, 1)
+    detail["stage1_lm_ms_per_sample_optimized"] = round(s1o_ms / 16, 2)
 
     # --- sampled-decode throughput: batch sweep + HBM roofline -----------
     # decode streams the full bf16 weight set every step, so larger

@@ -43,6 +43,13 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
                    help="training PRNG: threefry2x32 (default, bit-stable "
                         "across backends) or rbg (TPU hardware RNG, "
                         "measured -11%% on the 1B frozen train step)")
+    p.add_argument("--loss-chunk", type=int, default=None,
+                   help="compute the LM loss in sequence chunks of this "
+                        "size — no (B,T,128256) logit materialization, "
+                        "identical numerics (models/llama.py).  T/2 "
+                        "measured best at the 1B dims: bs16+chunk264 = "
+                        "32.6 ms/sample vs 45.4 at bs8+chunk128 "
+                        "(scripts/ab_stage1_shape.py)")
     p.add_argument("--remat", action="store_true",
                    help="per-layer Llama rematerialization — required for "
                         "full-backward (joint/stage-1) training of the "
@@ -149,6 +156,10 @@ def apply_overrides(cfg, args):
         cfg = dataclasses.replace(cfg, data=dataclasses.replace(
             cfg.data, max_length=640))
     # after --tiny so the flags survive the tiny LlamaConfig swap
+    if getattr(args, "loss_chunk", None) is not None:
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, llama=dataclasses.replace(
+                cfg.model.llama, loss_chunk=args.loss_chunk)))
     if getattr(args, "remat", False) or getattr(args, "remat_policy", None):
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
             cfg.model, llama=dataclasses.replace(

@@ -11,8 +11,10 @@ spent on gradients that are zeroed on arrival.  The r4 layout guards the
 Arms (one process, interleaved windows, identical batch):
   guard_outer — the r3 layout, rebuilt inline
   guard_inner — the shipped make_stage1_optimizer
-  no_guard    — nan_guard off (the DCE ceiling: any gap to guard_inner
-                is the cost of the finiteness check itself)
+  no_guard    — (--ceiling) nan_guard off: any gap to guard_inner is the
+                cost of the finiteness check itself.  Off by default —
+                three live 2.5 GB param trees + step peak OOM a 16 GB
+                chip.
 
     python scripts/ab_frozen_dce.py [--bs 8] [--iters 3] [--windows 3]
 
@@ -35,6 +37,8 @@ def main():
     p.add_argument("--text-len", type=int, default=512)
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--windows", type=int, default=3)
+    p.add_argument("--ceiling", action="store_true",
+                   help="add the no_guard arm (needs the HBM headroom)")
     p.add_argument("--platform", default=None)
     args = p.parse_args()
     if args.platform:
@@ -87,25 +91,29 @@ def main():
         "guard_outer": (jax.jit(make_stage1_train_step(mllm, tx_outer),
                                 donate_argnums=(0, 1)),
                         tx_outer.init(params)),
-        "no_guard": (jax.jit(make_stage1_train_step(mllm, tx_plain),
-                             donate_argnums=(0, 1)),
-                     tx_plain.init(params)),
     }
+    if args.ceiling:
+        arms["no_guard"] = (
+            jax.jit(make_stage1_train_step(mllm, tx_plain),
+                    donate_argnums=(0, 1)), tx_plain.init(params))
     key = jax.random.key(0)
 
     # one step per arm from the SAME params: trainable updates must agree
-    # (frozen stay bit-identical zero-updates in all three layouts)
+    # (frozen stay bit-identical zero-updates in every layout).  Copies
+    # are made up front so the original tree can be freed before the
+    # first step runs (each live tree is 2.5 GB).
     import jax.numpy as jnp
+    trees = {name: jax.tree.map(jnp.copy, params) for name in arms}
+    del params
     ref = {}
     state = {}
     for name, (step, opt) in arms.items():
-        p2, o2, m = step(jax.tree.map(jnp.copy, params), opt, batch, key)
+        p2, o2, m = step(trees.pop(name), opt, batch, key)
         ref[name] = p2
         state[name] = (p2, o2)
         log(f"compiled {name}: loss {float(m['lm_loss']):.4f}")
-    del params  # 4th copy of the 2.5 GB tree; three arm trees stay live
     flat_a = jax.tree.leaves(ref["guard_inner"])
-    for other in ("guard_outer", "no_guard"):
+    for other in [n for n in arms if n != "guard_inner"]:
         flat_b = jax.tree.leaves(ref[other])
         max_d = max(float(jnp.max(jnp.abs(a.astype(jnp.float32)
                                           - b.astype(jnp.float32))))

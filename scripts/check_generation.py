@@ -11,10 +11,6 @@ def main():
     p = base_parser(__doc__)
     p.add_argument("--export", default=None,
                    help="export trained MLLM params to this dir")
-    p.add_argument("--loss-chunk", type=int, default=None,
-                   help="compute the LM loss in sequence chunks of this "
-                        "size (no (B,T,128256) logit materialization; "
-                        "identical numerics — models/llama.py)")
     p.add_argument("--pipeline-parallel", type=int, default=None,
                    help="GPipe pipeline stages over the Llama decoder "
                         "depth (parallel/pipeline.py); must divide both "
@@ -22,15 +18,10 @@ def main():
     p.add_argument("--microbatches", type=int, default=None,
                    help="GPipe microbatch upper bound (clamped to the "
                         "largest divisor of the per-data-shard batch)")
-    args = p.parse_args()  # --remat/--remat-policy live in base_parser
+    args = p.parse_args()  # --remat/--loss-chunk etc. live in base_parser
     from tsue_tpu.config import get_preset
     from tsue_tpu.runner import run_stage1
     cfg = apply_overrides(get_preset("train_18_30"), args)
-    if args.loss_chunk is not None:
-        import dataclasses
-        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
-            cfg.model, llama=dataclasses.replace(
-                cfg.model.llama, loss_chunk=args.loss_chunk)))
     finish(run_stage1(cfg, args.data, args.out_dir, epochs=args.epochs,
                       export_path=args.export,
                       synthetic_tracks=args.synthetic_tracks,

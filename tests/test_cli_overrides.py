@@ -42,6 +42,19 @@ def test_no_flags_leave_preset_untouched():
     assert cfg.train.rng_impl == pre.train.rng_impl
 
 
+def test_loss_chunk_survives_tiny():
+    cfg = apply_overrides(get_preset("train_18_30"),
+                          _args("--tiny", "--loss-chunk", "264"))
+    assert cfg.model.llama.loss_chunk == 264
+    assert cfg.model.llama.hidden_size == 64      # tiny still applied
+
+
+def test_loss_chunk_zero_forces_dense():
+    cfg = apply_overrides(get_preset("train_18_30"),
+                          _args("--loss-chunk", "0"))
+    assert cfg.model.llama.loss_chunk == 0
+
+
 @pytest.mark.parametrize("impl", ["threefry2x32", "rbg"])
 def test_rng_impl_and_batch_survive_tiny(impl):
     cfg = apply_overrides(
