@@ -1,0 +1,107 @@
+"""Multi-chip sharded generation (parallel/serve_tp.py) on the 8-device
+virtual CPU mesh: pure-DP bitwise parity, TP token agreement, FSDP
+smoke, and the batch-divisibility contract."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tsue_tpu.ops.sampling import SamplingConfig
+from tsue_tpu.parallel.mesh import make_mesh
+from tsue_tpu.parallel.serve_tp import make_sharded_generate_fn
+
+MAX_NEW = 6
+
+
+@pytest.fixture(scope="module")
+def tiny_gen_setup():
+    from tsue_tpu.config import LlamaConfig, QFormerConfig
+    from tsue_tpu.eval.generation import make_generate_fn
+    from tsue_tpu.models.fusion import MultiModalLLM
+    llama = LlamaConfig.tiny()
+    qf = QFormerConfig(vision_dim=32, hidden_size=32, num_heads=2,
+                       num_encoder_layers=1, num_decoder_layers=1,
+                       num_query_tokens=4, dropout=0.0)
+    mllm = MultiModalLLM(llama=llama, qformer=qf, use_vision=True)
+    B, T = 8, 16
+    vision = jax.random.normal(jax.random.key(5), (B, 8, 32))
+    ids = jax.random.randint(jax.random.key(6), (B, T), 3, 380)
+    mask = jnp.ones((B, T), jnp.int32)
+    variables = mllm.init({"params": jax.random.key(0),
+                           "dropout": jax.random.key(1)},
+                          vision, ids, mask, False)
+    cfg = SamplingConfig(do_sample=False)
+    ref_gen = make_generate_fn(mllm, cfg, MAX_NEW, T, eos_id=383, pad_id=0)
+    ref = np.asarray(ref_gen(variables, vision, ids, mask,
+                             jax.random.key(9)))
+    return mllm, variables, cfg, vision, ids, mask, ref
+
+
+def test_pure_dp_bitwise_matches_single_device(tiny_gen_setup):
+    """model_parallel=1: every batch row is computed whole on one device
+    — the sharded program is the single-device math, bitwise."""
+    mllm, variables, cfg, vision, ids, mask, ref = tiny_gen_setup
+    mesh = make_mesh(model_parallel=1)
+    gen, _ = make_sharded_generate_fn(mllm, variables, cfg, MAX_NEW,
+                                      ids.shape[1], eos_id=383, mesh=mesh)
+    out = np.asarray(gen(vision, ids, mask, jax.random.key(9)))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_tp_agrees_with_single_device(tiny_gen_setup):
+    """model_parallel=2 splits contractions (psum partial-sum order
+    differs), so greedy tokens agree except where the single-device
+    chain was within reduction tolerance of a tie."""
+    mllm, variables, cfg, vision, ids, mask, ref = tiny_gen_setup
+    mesh = make_mesh(model_parallel=2)
+    gen, svars = make_sharded_generate_fn(mllm, variables, cfg, MAX_NEW,
+                                          ids.shape[1], eos_id=383,
+                                          mesh=mesh)
+    # the placement actually sharded something on the model axis
+    q_kernel = svars["params"]["llama"]["model"]["layer_0"]["attn"][
+        "q_proj"]["kernel"]
+    assert any(ax == "model" for ax in q_kernel.sharding.spec
+               if ax is not None)
+    out = np.asarray(gen(vision, ids, mask, jax.random.key(9)))
+    assert out.shape == ref.shape
+    assert (out == ref).mean() >= 0.9
+
+
+def test_fsdp_dp_smoke_bitwise(tiny_gen_setup):
+    """fsdp=True (ZeRO weight sharding over data) changes placement, not
+    math: pure-DP + fsdp stays bitwise."""
+    mllm, variables, cfg, vision, ids, mask, ref = tiny_gen_setup
+    mesh = make_mesh(model_parallel=1)
+    gen, svars = make_sharded_generate_fn(
+        mllm, variables, cfg, MAX_NEW, ids.shape[1], eos_id=383,
+        mesh=mesh, fsdp=True, fsdp_min_size=0)
+    emb = svars["params"]["llama"]["model"]["embed_tokens"]["embedding"]
+    assert any(ax == "data" for ax in emb.sharding.spec if ax is not None)
+    out = np.asarray(gen(vision, ids, mask, jax.random.key(9)))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_batch_must_divide_data_axis(tiny_gen_setup):
+    mllm, variables, cfg, vision, ids, mask, _ = tiny_gen_setup
+    mesh = make_mesh(model_parallel=1)        # data axis = 8
+    gen, _ = make_sharded_generate_fn(mllm, variables, cfg, MAX_NEW,
+                                      ids.shape[1], eos_id=383, mesh=mesh)
+    with pytest.raises(ValueError, match="divide"):
+        gen(vision[:3], ids[:3], mask[:3], jax.random.key(9))
+
+
+def test_sampled_dp_bitwise(tiny_gen_setup):
+    """The production sampled chain under pure DP is also bitwise (the
+    per-step keys are replicated; each row draws identically)."""
+    mllm, variables, _, vision, ids, mask, _ = tiny_gen_setup
+    from tsue_tpu.eval.generation import make_generate_fn
+    cfg = SamplingConfig()                     # sampled production chain
+    ref_gen = make_generate_fn(mllm, cfg, MAX_NEW, ids.shape[1],
+                               eos_id=383, pad_id=0)
+    ref = np.asarray(ref_gen(variables, vision, ids, mask,
+                             jax.random.key(11)))
+    mesh = make_mesh(model_parallel=1)
+    gen, _ = make_sharded_generate_fn(mllm, variables, cfg, MAX_NEW,
+                                      ids.shape[1], eos_id=383, mesh=mesh)
+    out = np.asarray(gen(vision, ids, mask, jax.random.key(11)))
+    np.testing.assert_array_equal(out, ref)

@@ -1,0 +1,94 @@
+"""Multi-chip serving: TP(+DP) sharded generation via GSPMD.
+
+The reference serves from one GPU (HF ``generate`` over a single
+process, ref scripts/train.py:616-654); this module is the TPU-native
+scale-out path for models that outgrow one chip (or batches that
+outgrow one chip's decode throughput): place the weights ONCE with the
+Megatron-style partition rules of :mod:`tsue_tpu.parallel.sharding`
+(attention split by heads, MLP by feature, embedding by feature) over a
+``("data", "model")`` mesh, shard requests over ``data``, and let XLA's
+SPMD partitioner insert every collective (psum after o_proj/down_proj
+contractions, psum for the V-wide LM-head logits) over ICI.  There is
+no hand-written collective and no model change: the production
+generator (eval/generation.py) is traced as-is with sharded operands.
+
+Two deliberate v1 restrictions, both measured/mechanical rather than
+fundamental:
+
+- the attention formulation is pinned to XLA for the whole program
+  (``attention_impl("xla")`` around each call): ``pallas_call`` does not
+  auto-partition under GSPMD, and the decode hot loop (Tq=1) measured
+  faster on XLA anyway (PARITY.md decode profile); only the one-time
+  prefill would ever want the flash kernel back (a shard_map wrapper —
+  future work);
+- ``fused_head``/``quantize_kv`` (both Pallas) stay off for the same
+  reason; int8 *weights* would shard like their bf16 twins but the quant
+  tables carry no TP rules yet, so v1 serves bf16.
+
+Correctness: pure-DP sharding (model_parallel=1) computes each batch row
+entirely on one device — bitwise the single-device decode.  TP splits
+the contractions, so partial-sum order differs from the single-device
+dot: logits agree to matmul-reduction tolerance and greedy/sampled draws
+can flip only where the single-device chain was already within one ulp
+of a tie (the standard formulation caveat, cf. eval/speculative.py).
+Pinned by tests/test_serve_tp.py on the 8-device CPU mesh.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tsue_tpu.ops.attention import attention_impl
+from tsue_tpu.ops.sampling import SamplingConfig
+from tsue_tpu.parallel.sharding import shard_params
+
+
+def make_sharded_generate_fn(mllm, variables, cfg: SamplingConfig,
+                             max_new_tokens: int, prompt_len: int,
+                             eos_id: int, mesh: Mesh, pad_id: int = 0,
+                             fsdp: bool = False,
+                             fsdp_min_size: Optional[int] = None,
+                             early_exit_chunk: Optional[int] = 8):
+    """Build a multi-chip generator: ``(vision, prompt_ids, prompt_mask,
+    rng) -> (B, max_new_tokens) int32`` with weights TP-sharded over
+    ``mesh``'s "model" axis and the batch over "data".
+
+    ``variables`` is placed (device_put) once, here; the returned
+    closure owns the sharded tree.  The batch dimension must divide the
+    mesh's data axis.  ``fsdp=True`` additionally ZeRO-shards big
+    replicated params over "data" (decode then all-gathers each layer's
+    weights on use — trades latency for capacity; only worth it when
+    the replicated weights don't fit).
+
+    Returns ``(generate, sharded_variables)`` — the tree is returned so
+    callers can free their unsharded copy / reuse the placement.
+    """
+    from tsue_tpu.eval.generation import make_generate_fn
+
+    kw = {} if fsdp_min_size is None else {"fsdp_min_size": fsdp_min_size}
+    svars = shard_params(variables, mesh, fsdp=fsdp, **kw)
+    gen = make_generate_fn(mllm, cfg, max_new_tokens, prompt_len,
+                           eos_id=eos_id, pad_id=pad_id,
+                           early_exit_chunk=early_exit_chunk)
+    data_sh = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    def generate(vision, prompt_ids, prompt_mask, rng):
+        B = prompt_ids.shape[0]
+        n_data = mesh.shape.get("data", 1)
+        if B % n_data:
+            raise ValueError(f"batch {B} must divide the data axis "
+                             f"({n_data})")
+        vision = jax.device_put(jnp.asarray(vision), data_sh)
+        prompt_ids = jax.device_put(jnp.asarray(prompt_ids), data_sh)
+        prompt_mask = jax.device_put(jnp.asarray(prompt_mask), data_sh)
+        rng = jax.device_put(rng, repl)
+        # trace-time switch: the Pallas prefill kernel cannot partition
+        # under GSPMD; XLA attention is the multi-chip formulation
+        with attention_impl("xla"):
+            return gen(svars, vision, prompt_ids, prompt_mask, rng)
+
+    return generate, svars

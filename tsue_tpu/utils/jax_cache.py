@@ -12,6 +12,15 @@ fingerprint therefore includes the cpuinfo flags, the exact CPU model
 name, and the jax/jaxlib versions; any of them changing rotates to a
 fresh dir.  Deliberately imports nothing that could initialize a JAX
 backend (importlib.metadata reads the dist-info, not the package).
+
+Known cosmetic limit (r4): XLA:CPU compiles with tuning pseudo-features
+(``+prefer-no-gather``/``+prefer-no-scatter``) that the AOT loader's
+host-feature probe never reports, so every CPU cache *hit* logs a
+spurious ``cpu_aot_loader`` "machine type doesn't match ... SIGILL"
+error — even loading an entry this very machine just wrote.  The load
+still succeeds and the fingerprint still guards the real cross-machine
+hazard; contexts where a clean log matters more than compile reuse
+(the driver's multichip dryrun) simply skip ``configure`` on CPU.
 """
 from __future__ import annotations
 
