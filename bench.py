@@ -169,13 +169,14 @@ def bench_decode(vocab_size: int, batch_sizes=(16,), prompt_len: int = 144,
     init; per CLAUDE.md, cross-run comparisons on the shared tunnel are
     noise -- only same-process interleaved numbers are comparable).
     ``int8=True`` additionally times the int8 weight-only decode
-    (ops/quant.py) AND the fully-quantized serving point "int8kv"
-    (int8 weights + int8 KV cache, ops/kv_quant.py) interleaved with the
-    bf16 baseline.
+    (ops/quant.py), the fully-quantized serving point "int8kv"
+    (int8 weights + int8 KV cache, ops/kv_quant.py), and the full
+    production fast path "fast" (int8 + kv8 + fused LM-head+top-k,
+    ops/lmhead_topk.py), all interleaved with the bf16 baseline.
     Returns {variant: ({bs: tok/s}, {bs: hbm_utilization})} with variants
-    "base" (and "int8"/"int8kv"); utilization is against each variant's
-    own streamed-byte count, so it shows distance to the same 820 GB/s
-    roof.
+    "base" (and "int8"/"int8kv"/"fast"); utilization is against each
+    variant's own streamed-byte count, so it shows distance to the same
+    820 GB/s roof.
 
     Roofline: decode is bandwidth-bound -- every step streams the full
     bf16 weight set (params x 2 bytes; the LM head reads the tied
@@ -228,6 +229,15 @@ def bench_decode(vocab_size: int, batch_sizes=(16,), prompt_len: int = 144,
                                   prompt_len, eos_id=vocab_size - 1,
                                   pad_id=0, quantize_kv=True)
         variants["int8kv"] = (qvars, gen_kv)
+        # the full production fast path: int8 weights + int8 KV + the
+        # fused LM-head+top-k kernel (ops/lmhead_topk.py — logits never
+        # materialized; requires 0 < top_k < 128, which the production
+        # SamplingConfig satisfies)
+        gen_fast = make_generate_fn(mllm, SamplingConfig(), max_new,
+                                    prompt_len, eos_id=vocab_size - 1,
+                                    pad_id=0, quantize_kv=True,
+                                    fused_head=True)
+        variants["fast"] = (qvars, gen_fast)
 
     def run(name, bs, k):
         vs, g = variants[name]
@@ -254,7 +264,7 @@ def bench_decode(vocab_size: int, batch_sizes=(16,), prompt_len: int = 144,
     n_img = mllm.qformer.num_query_tokens
     i8w = float(n_params - n_q) * 2.0 + float(n_q)
     weight_bytes = {"base": float(n_params) * 2.0, "int8": i8w,
-                    "int8kv": i8w}
+                    "int8kv": i8w, "fast": i8w}
     avg_len = prompt_len + n_img + max_new / 2.0
     out = {}
     for name in variants:
@@ -262,7 +272,8 @@ def bench_decode(vocab_size: int, batch_sizes=(16,), prompt_len: int = 144,
         for bs in batch_sizes:
             # int8kv: cache tokens stream 1 byte + a f32 scale per
             # (token, head) vector (Dh values share one scale)
-            kv_elt = (1.0 + 4.0 / c.head_dim) if name == "int8kv" else 2.0
+            kv_elt = (1.0 + 4.0 / c.head_dim) if name in ("int8kv", "fast") \
+                else 2.0
             kv_bytes = (bs * avg_len * c.num_layers * 2 * c.num_kv_heads
                         * c.head_dim * kv_elt)
             steps_per_sec = max_new / best[(name, bs)]
@@ -524,12 +535,14 @@ def main():
     real_tok, real_util = decode["base"]
     i8_tok, i8_util = decode["int8"]
     kv_tok, kv_util = decode["int8kv"]
+    fast_tok, fast_util = decode["fast"]
     for bs in sweep:
         log(f"decode real-vocab bs{bs}: {real_tok[bs]:.0f} tok/s "
             f"(HBM util {real_util[bs]*100:.0f}%) | int8 "
             f"{i8_tok[bs]:.0f} tok/s (util {i8_util[bs]*100:.0f}%) | "
             f"int8+kv8 {kv_tok[bs]:.0f} tok/s "
-            f"(util {kv_util[bs]*100:.0f}%)")
+            f"(util {kv_util[bs]*100:.0f}%) | +fused head "
+            f"{fast_tok[bs]:.0f} tok/s")
     byte_tok, _ = bench_decode(BYTE_VOCAB)["base"]
     log(f"decode byte-vocab: {byte_tok[16]:.0f} tok/s")
     detail["decode_tok_per_sec_vocab128256"] = round(real_tok[16], 1)
@@ -545,6 +558,8 @@ def main():
         str(bs): round(kv_tok[bs], 1) for bs in sweep}
     detail["decode_hbm_utilization_int8kv_by_bs"] = {
         str(bs): round(kv_util[bs], 3) for bs in sweep}
+    detail["decode_tok_per_sec_vocab128256_fastpath_by_bs"] = {
+        str(bs): round(fast_tok[bs], 1) for bs in sweep}
     detail["decode_tok_per_sec_vocab384"] = round(byte_tok[16], 1)
 
     # --- round-1 continuity: byte-tokenizer vocab (384) ------------------

@@ -1,10 +1,12 @@
 """Interleaved A/B: int8 KV cache (ops/kv_quant.py) vs the bf16 cache,
 at the real Llama-1B dims over a batch-size sweep.
 
-Both arms run the production generator (eval/generation.py) — the only
-difference is ``quantize_kv``.  ``--int8`` additionally interleaves both
-arms with the int8 weight collection attached (ops/quant.py), since the
-KV stream only dominates once the weight stream is already halved.
+Arms run the production generator (eval/generation.py): the bf16 cache,
+the int8 cache through the Pallas VMEM-dequant kernel ("kv_int8"), and
+the int8 cache through the XLA dequant-fused formulation ("kv_int8x",
+kv_attn_impl("xla")).  ``--int8`` additionally interleaves every arm
+with the int8 weight collection attached (ops/quant.py), since the KV
+stream only dominates once the weight stream is already halved.
 Workload: the reference's production sampling chain (T=0.9, top-k 40,
 top-p 0.9, penalties — ref scripts/train.py:630-642) on random prompts.
 
@@ -67,27 +69,37 @@ def main():
         from tsue_tpu.ops.quant import with_quantized_decode
         variants["_int8"] = with_quantized_decode(variables)
 
+    from tsue_tpu.ops.kv_quant import kv_attn_impl
+
+    # (generator, int8-attention formulation): "kernel" = the Pallas
+    # VMEM-dequant kernel, "xla" = dequant fused into XLA attention.
+    # Tracing happens on first call, so run() scopes every call.
     gens = {
-        "kv_bf16": make_generate_fn(mllm, cfg, args.max_new,
-                                    args.prompt_len, eos_id=vocab - 1,
-                                    pad_id=0, fused_head=args.fused_head),
-        "kv_int8": make_generate_fn(mllm, cfg, args.max_new,
-                                    args.prompt_len, eos_id=vocab - 1,
-                                    pad_id=0, fused_head=args.fused_head,
-                                    quantize_kv=True),
+        "kv_bf16": (make_generate_fn(
+            mllm, cfg, args.max_new, args.prompt_len, eos_id=vocab - 1,
+            pad_id=0, fused_head=args.fused_head), "kernel"),
+        "kv_int8": (make_generate_fn(
+            mllm, cfg, args.max_new, args.prompt_len, eos_id=vocab - 1,
+            pad_id=0, fused_head=args.fused_head, quantize_kv=True),
+            "kernel"),
+        "kv_int8x": (make_generate_fn(
+            mllm, cfg, args.max_new, args.prompt_len, eos_id=vocab - 1,
+            pad_id=0, fused_head=args.fused_head, quantize_kv=True),
+            "xla"),
     }
     key = jax.random.key(0)
 
-    def run(gen, vs, bs, k):
-        return np.asarray(gen(vs, vision[:bs], ids[:bs], mask[:bs], k))
+    def run(gen, impl, vs, bs, k):
+        with kv_attn_impl(impl):
+            return np.asarray(gen(vs, vision[:bs], ids[:bs], mask[:bs], k))
 
-    arms = [(g + sfx, gens[g], variants[sfx])
-            for sfx in variants for g in gens]
+    arms = [(g + sfx, gen, impl, variants[sfx])
+            for sfx in variants for g, (gen, impl) in gens.items()]
     outs = {}
-    for name, gen, vs in arms:                       # compile + agreement
+    for name, gen, impl, vs in arms:                 # compile + agreement
         for bs in sizes:
             t0 = time.time()
-            outs[(name, bs)] = run(gen, vs, bs, key)
+            outs[(name, bs)] = run(gen, impl, vs, bs, key)
             log(f"compiled {name} bs{bs} in {time.time()-t0:.1f}s")
     agreement = {}
     for sfx in variants:
@@ -99,20 +111,21 @@ def main():
             log(f"token agreement{sfx} bs{bs}: {agree:.4f} "
                 "(int8 cache error can flip sampled draws)")
 
-    best = {(n, bs): float("inf") for n, _, _ in arms for bs in sizes}
+    best = {(n, bs): float("inf") for n, _, _, _ in arms for bs in sizes}
     for w in range(args.windows):
-        for name, gen, vs in arms:
+        for name, gen, impl, vs in arms:
             for bs in sizes:
                 t0 = time.time()
                 for i in range(args.iters):
-                    run(gen, vs, bs, jax.random.fold_in(key, w * 10 + i))
+                    run(gen, impl, vs, bs,
+                        jax.random.fold_in(key, w * 10 + i))
                 dt = (time.time() - t0) / args.iters
                 best[(name, bs)] = min(best[(name, bs)], dt)
                 log(f"  w{w} {name} bs{bs}: {dt:.3f}s "
                     f"({bs*args.max_new/dt:.0f} tok/s)")
 
     result = {"agreement": agreement}
-    for name, _, _ in arms:
+    for name, _, _, _ in arms:
         result[name] = {str(bs): round(bs * args.max_new /
                                        best[(name, bs)], 1)
                         for bs in sizes}
@@ -120,6 +133,10 @@ def main():
         result["speedup" + sfx] = {
             str(bs): round(best[("kv_bf16" + sfx, bs)] /
                            best[("kv_int8" + sfx, bs)], 3)
+            for bs in sizes}
+        result["speedup_xla" + sfx] = {
+            str(bs): round(best[("kv_bf16" + sfx, bs)] /
+                           best[("kv_int8x" + sfx, bs)], 3)
             for bs in sizes}
     print(json.dumps(result))
 

@@ -98,13 +98,16 @@ class TestAttendKernelParity:
                                    atol=2e-5, rtol=2e-5)
 
     def test_dispatch_uses_kernel_for_qualifying_heads(self):
-        """attend_int8_kv picks the kernel path exactly when the group
-        lanes tile; on CPU it runs interpreted with identical math."""
+        """Under kv_attn_impl("kernel"), attend_int8_kv picks the kernel
+        path when the group lanes tile (on CPU it runs interpreted with
+        identical math) and matches the default XLA formulation."""
+        from tsue_tpu.ops.kv_quant import kv_attn_impl
         B, S, Hkv, D, Hq = 2, 24, 8, 64, 16
         cache = self._cache(B, S, Hkv, D, jax.random.key(10))
         q = jax.random.normal(jax.random.key(11), (B, 1, Hq, D))
         mask = jnp.ones((B, S), bool)
-        out = attend_int8_kv(q, cache, mask)
+        with kv_attn_impl("kernel"):
+            out = attend_int8_kv(q, cache, mask)
         from tsue_tpu.ops.attention import _xla_attention
         kd = dequantize_kv(cache[0], cache[1], q.dtype)
         vd = dequantize_kv(cache[2], cache[3], q.dtype)

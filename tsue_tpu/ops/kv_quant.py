@@ -5,8 +5,9 @@ B-proportional HBM stream of a decode step: at Llama-1B dims the bf16
 cache read is ``B * S * Hkv * Dh * 2 (k+v) * 2 bytes * L`` — ~2.4 GB/step
 at bs128/S=576, i.e. it overtakes the (fixed-size) weight stream as batch
 grows.  This module stores the cache per-token-per-head symmetric int8
-(``k ~ k8 * ks``) and a Pallas decode-attention kernel dequantizes in
-VMEM, so HBM only ever sees the int8 bytes.
+(``k ~ k8 * ks``); decode attention dequantizes on-chip (XLA fuses the
+converts into the attention matmuls), so HBM only ever sees the int8
+bytes — the cache footprint halves at step-time parity with bf16.
 
 Design (mirrors ops/quant.py's opt-in discipline):
 
@@ -17,11 +18,12 @@ Design (mirrors ops/quant.py's opt-in discipline):
 - Decode writes quantize the new K/V rows on the way into the cache
   (same scatter patterns as the bf16 path: scalar slice, per-row slots,
   W-token windows), so the cache never holds bf16.
-- Decode reads go through :func:`attend_int8_kv`: a Pallas kernel
-  (grid over batch rows, whole-row (S, Hkv*Dh) int8 blocks, GQA-native
-  lane slicing like ops/flash.py) or the XLA reference formulation
-  (CPU / parity tests / non-qualifying shapes).  Within a row the
-  kernel's math is the same fp32 softmax(QK^T)V as the XLA path.
+- Decode reads go through :func:`attend_int8_kv`: the XLA formulation
+  over the dequantized cache (default — the converts fuse into the
+  attention matmuls) or an opt-in Pallas VMEM-dequant kernel (grid over
+  batch rows, whole-row (S, Hkv*Dh) int8 blocks, GQA-native lane
+  slicing like ops/flash.py) kept as the parity reference; it measured
+  slower (see ``_KV_IMPL`` note).  Same fp32 softmax(QK^T)V either way.
 
 A cache layer is a 4-tuple ``(k8, ks, v8, vs)`` — models/llama.py's
 attention branches on the tuple arity, everything else threads the cache
@@ -35,6 +37,7 @@ ref scripts/train.py:606-654); this is a TPU-native serving lever.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -43,6 +46,39 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+
+# int8 decode-attention formulation: "xla" (default) = dequantize +
+# ops/attention._xla_attention — XLA fuses the int8->f32 convert into
+# the attention matmuls, so HBM still streams only int8 bytes; "kernel"
+# = the Pallas VMEM-dequant kernel.  MEASURED (scripts/ab_kv_quant.py,
+# real chip, interleaved, Llama-1B dims): the kernel is 0.58-0.77x the
+# bf16 cache at bs16-128 (its whole-row (S, Hkv*D) VMEM blocks don't
+# pipeline the S stream), while "xla" is 0.99-1.02x with HALF the cache
+# HBM/footprint — so "xla" is the default and the kernel is kept as the
+# parity-tested reference formulation.  Read at TRACE time;
+# kv_attn_impl scopes a choice.
+_KV_IMPL = os.environ.get("TSUE_KV_ATTN", "xla")
+
+
+class kv_attn_impl:
+    """``with kv_attn_impl("xla"): ...`` — scope the int8 decode-attention
+    formulation for everything traced inside (mirrors
+    ops/attention.attention_impl)."""
+
+    def __init__(self, name: str):
+        assert name in ("kernel", "xla"), name
+        self.name = name
+
+    def __enter__(self):
+        global _KV_IMPL
+        self.prev = _KV_IMPL
+        _KV_IMPL = self.name
+        return self
+
+    def __exit__(self, *exc):
+        global _KV_IMPL
+        _KV_IMPL = self.prev
+        return False
 
 
 def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -192,9 +228,15 @@ def attend_int8_kv(q, layer_cache, mask, scale: Optional[float] = None,
     layer_cache: (k8, ks, v8, vs); mask: the decode kv mask ((B, S) or
     (B, 1, Tq, S)).  Returns (B, Tq, Hq, Dh) in q.dtype.
 
-    Kernel path on accelerators when the group lanes tile (G*Dh % 128);
-    otherwise (CPU tests force interpret=True for parity instead) the XLA
-    reference formulation over the dequantized cache — same fp32 math.
+    Default path is the XLA formulation over the dequantized cache: XLA
+    fuses the int8->f32 converts into the attention matmuls, so HBM
+    still streams only int8 bytes — measured at parity with the bf16
+    cache's step time while halving its footprint.  The Pallas
+    VMEM-dequant kernel is opt-in (``kv_attn_impl("kernel")`` /
+    ``TSUE_KV_ATTN=kernel``, qualifying shapes only: G*Dh and Hkv*Dh
+    lane-tiled); it measured 0.58-0.77x and is kept as the parity-tested
+    reference formulation (CPU tests force interpret=True).  Both paths
+    are the same fp32 softmax(QK^T)V math.
     """
     k8, ks, v8, vs = layer_cache
     B, Tq, Hq, D = q.shape
@@ -203,8 +245,8 @@ def attend_int8_kv(q, layer_cache, mask, scale: Optional[float] = None,
         scale = D ** -0.5
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
-    if Hq % Hkv == 0 and ((Hq // Hkv) * D) % 128 == 0 \
-            and (Hkv * D) % 128 == 0:
+    if _KV_IMPL == "kernel" and Hq % Hkv == 0 \
+            and ((Hq // Hkv) * D) % 128 == 0 and (Hkv * D) % 128 == 0:
         m3 = _mask3(mask, B, Tq, S)
         return _attend_int8_impl(q, k8, ks, v8, vs, m3, float(scale),
                                  bool(interpret))
