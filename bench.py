@@ -229,10 +229,12 @@ def bench_decode(vocab_size: int, batch_sizes=(16,), prompt_len: int = 144,
                                   prompt_len, eos_id=vocab_size - 1,
                                   pad_id=0, quantize_kv=True)
         variants["int8kv"] = (qvars, gen_kv)
-        # the full production fast path: int8 weights + int8 KV + the
-        # fused LM-head+top-k kernel (ops/lmhead_topk.py — logits never
-        # materialized; requires 0 < top_k < 128, which the production
-        # SamplingConfig satisfies)
+        # int8 + kv8 + the fused LM-head+top-k kernel (ops/lmhead_topk.py
+        # — logits never materialized; requires 0 < top_k < 128, which
+        # the production SamplingConfig satisfies).  Measured regime
+        # (scripts/ab_fused_head.py): a +6% win at bs16 (latency point),
+        # a loss at bs64+ where the one big XLA LM-head matmul beats the
+        # V-tiled streaming — reported per-bs so the crossover is visible.
         gen_fast = make_generate_fn(mllm, SamplingConfig(), max_new,
                                     prompt_len, eos_id=vocab_size - 1,
                                     pad_id=0, quantize_kv=True,
@@ -558,7 +560,7 @@ def main():
         str(bs): round(kv_tok[bs], 1) for bs in sweep}
     detail["decode_hbm_utilization_int8kv_by_bs"] = {
         str(bs): round(kv_util[bs], 3) for bs in sweep}
-    detail["decode_tok_per_sec_vocab128256_fastpath_by_bs"] = {
+    detail["decode_tok_per_sec_vocab128256_int8kv_fusedhead_by_bs"] = {
         str(bs): round(fast_tok[bs], 1) for bs in sweep}
     detail["decode_tok_per_sec_vocab384"] = round(byte_tok[16], 1)
 
