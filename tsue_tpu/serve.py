@@ -58,6 +58,14 @@ class Predictor:
         self.quantize_decode = quantize_decode
         self.fused_head = fused_head
         self.quantize_kv = quantize_kv
+        if fused_head and batch_size >= 32:
+            import warnings
+            warnings.warn(
+                f"fused_head=True at batch_size={batch_size}: the fused "
+                "LM-head+top-k kernel is a small-batch latency lever "
+                "(measured +6% at bs16 but -8%/-15% at bs64/bs128, where "
+                "XLA's single large head matmul wins — PARITY.md); "
+                "consider leaving it off at this batch size")
         self._quant = None
         # compiled-program caches (generation fns / continuous batchers),
         # LRU-bounded: keys include request-controlled fields
