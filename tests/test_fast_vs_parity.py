@@ -15,6 +15,8 @@ import dataclasses
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # ~8 min: real joint training
+
 from tsue_tpu.config import (LaneEncoderConfig, LlamaConfig, LTSFConfig,
                              ModelConfig, QFormerConfig, get_preset)
 
