@@ -90,6 +90,52 @@ def test_batch_must_divide_data_axis(tiny_gen_setup):
         gen(vision[:3], ids[:3], mask[:3], jax.random.key(9))
 
 
+def test_int8_pure_dp_bitwise(tiny_gen_setup):
+    """quantize_decode under pure DP == the single-device int8 decode,
+    bitwise: quantization happens before placement (identical scales)
+    and at tiny dims both paths take the same XLA dequant-fused dot."""
+    mllm, variables, cfg, vision, ids, mask, _ = tiny_gen_setup
+    from tsue_tpu.eval.generation import make_generate_fn
+    from tsue_tpu.ops.quant import with_quantized_decode
+    qvars = with_quantized_decode(variables)
+    ref_gen = make_generate_fn(mllm, cfg, MAX_NEW, ids.shape[1],
+                               eos_id=383, pad_id=0)
+    ref = np.asarray(ref_gen(qvars, vision, ids, mask, jax.random.key(9)))
+    mesh = make_mesh(model_parallel=1)
+    gen, _ = make_sharded_generate_fn(mllm, variables, cfg, MAX_NEW,
+                                      ids.shape[1], eos_id=383, mesh=mesh,
+                                      quantize_decode=True)
+    out = np.asarray(gen(vision, ids, mask, jax.random.key(9)))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_int8_tp_agrees_and_quant_tables_shard(tiny_gen_setup):
+    """model_parallel=2 with quantize_decode: every w8 shards like its
+    bf16 kernel twin, the per-output scale rides the output split, and
+    greedy decode agrees with single-device int8 up to psum tie flips."""
+    mllm, variables, cfg, vision, ids, mask, _ = tiny_gen_setup
+    from tsue_tpu.eval.generation import make_generate_fn
+    from tsue_tpu.ops.quant import with_quantized_decode
+    qvars = with_quantized_decode(variables)
+    ref_gen = make_generate_fn(mllm, cfg, MAX_NEW, ids.shape[1],
+                               eos_id=383, pad_id=0)
+    ref = np.asarray(ref_gen(qvars, vision, ids, mask, jax.random.key(9)))
+    mesh = make_mesh(model_parallel=2)
+    gen, svars = make_sharded_generate_fn(
+        mllm, variables, cfg, MAX_NEW, ids.shape[1], eos_id=383,
+        mesh=mesh, quantize_decode=True)
+    layer = svars["quant"]["llama"]["model"]["layer_0"]
+    assert layer["attn"]["q_proj"]["w8"].sharding.spec[1] == "model"
+    assert layer["attn"]["q_proj"]["scale"].sharding.spec[0] == "model"
+    assert layer["attn"]["o_proj"]["w8"].sharding.spec[0] == "model"
+    assert layer["mlp"]["down_proj"]["w8"].sharding.spec[0] == "model"
+    head_w8 = svars["quant"]["llama"]["lm_head_w8"]
+    assert head_w8.sharding.spec[0] == "model"
+    out = np.asarray(gen(vision, ids, mask, jax.random.key(9)))
+    assert out.shape == ref.shape
+    assert (out == ref).mean() >= 0.9
+
+
 def test_sampled_dp_bitwise(tiny_gen_setup):
     """The production sampled chain under pure DP is also bitwise (the
     per-step keys are replicated; each row draws identically)."""

@@ -31,6 +31,7 @@ ref scripts/train.py:606-654); this is the TPU-native serving lever.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -40,6 +41,34 @@ from jax.experimental.pallas import tpu as pltpu
 
 _PROJ = {"q_proj", "k_proj", "v_proj", "o_proj",
          "gate_proj", "up_proj", "down_proj"}
+
+# "auto" | "xla" | "pallas": which int8-matmul formulation to trace.
+# "auto" (default) = the VMEM-dequant Pallas kernel when shapes tile
+# (the measured single-chip win); "xla" = the dequant-fused XLA dot —
+# required under GSPMD (pallas_call does not auto-partition; the
+# multi-chip serve path traces inside int8_impl("xla")).
+_INT8_IMPL = os.environ.get("TSUE_INT8", "auto")
+
+
+class int8_impl:
+    """Scoped formulation switch, same contract as
+    :class:`tsue_tpu.ops.attention.attention_impl`: consulted at TRACE
+    time — build jitted callables inside the scope."""
+
+    def __init__(self, name: str):
+        assert name in ("auto", "xla", "pallas")
+        self.name = name
+
+    def __enter__(self):
+        global _INT8_IMPL
+        self.prev = _INT8_IMPL
+        _INT8_IMPL = self.name
+        return self
+
+    def __exit__(self, *exc):
+        global _INT8_IMPL
+        _INT8_IMPL = self.prev
+        return False
 
 
 def quantize_weight(w: jnp.ndarray, axis: int = 0):
@@ -112,7 +141,7 @@ def int8_matmul(x: jnp.ndarray, w8: jnp.ndarray, scale: jnp.ndarray,
     M = 1
     for d in lead:
         M *= d
-    if K % 128 != 0 or N % 128 != 0 or M > 128:
+    if _INT8_IMPL == "xla" or K % 128 != 0 or N % 128 != 0 or M > 128:
         return int8_matmul_ref(x.reshape(M, K), w8, scale,
                                out_dtype).reshape(*lead, N)
     if interpret is None:

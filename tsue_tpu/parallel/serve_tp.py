@@ -22,8 +22,10 @@ fundamental:
   prefill would ever want the flash kernel back (a shard_map wrapper —
   future work);
 - ``fused_head``/``quantize_kv`` (both Pallas) stay off for the same
-  reason; int8 *weights* would shard like their bf16 twins but the quant
-  tables carry no TP rules yet, so v1 serves bf16.
+  reason.  Int8 *weights* DO compose (``quantize_decode=True``): the
+  quant tables shard like their bf16 twins (sharding.py quant rules)
+  and the decode traces the dequant-fused XLA dot
+  (``ops.quant.int8_impl("xla")``), which GSPMD partitions normally.
 
 Correctness: pure-DP sharding (model_parallel=1) computes each batch row
 entirely on one device — bitwise the single-device decode.  TP splits
@@ -51,7 +53,8 @@ def make_sharded_generate_fn(mllm, variables, cfg: SamplingConfig,
                              eos_id: int, mesh: Mesh, pad_id: int = 0,
                              fsdp: bool = False,
                              fsdp_min_size: Optional[int] = None,
-                             early_exit_chunk: Optional[int] = 8):
+                             early_exit_chunk: Optional[int] = 8,
+                             quantize_decode: bool = False):
     """Build a multi-chip generator: ``(vision, prompt_ids, prompt_mask,
     rng) -> (B, max_new_tokens) int32`` with weights TP-sharded over
     ``mesh``'s "model" axis and the batch over "data".
@@ -63,11 +66,23 @@ def make_sharded_generate_fn(mllm, variables, cfg: SamplingConfig,
     weights on use — trades latency for capacity; only worth it when
     the replicated weights don't fit).
 
+    ``quantize_decode=True``: int8 weight-only decode under TP — the
+    quant collection is built BEFORE placement (scales identical to the
+    single-device quantization, then each w8/scale leaf shards like its
+    bf16 kernel twin — sharding.py quant rules) and the program is
+    traced under ``int8_impl("xla")``: the dequant-fused XLA dot, which
+    GSPMD partitions like any matmul (the Pallas VMEM-dequant kernel
+    cannot auto-partition).  Per shard the decode weight stream still
+    halves, the same bandwidth argument as single-chip (ops/quant.py).
+
     Returns ``(generate, sharded_variables)`` — the tree is returned so
     callers can free their unsharded copy / reuse the placement.
     """
     from tsue_tpu.eval.generation import make_generate_fn
+    from tsue_tpu.ops.quant import int8_impl, with_quantized_decode
 
+    if quantize_decode and "quant" not in variables:
+        variables = with_quantized_decode(variables)
     kw = {} if fsdp_min_size is None else {"fsdp_min_size": fsdp_min_size}
     svars = shard_params(variables, mesh, fsdp=fsdp, **kw)
     gen = make_generate_fn(mllm, cfg, max_new_tokens, prompt_len,
@@ -86,9 +101,10 @@ def make_sharded_generate_fn(mllm, variables, cfg: SamplingConfig,
         prompt_ids = jax.device_put(jnp.asarray(prompt_ids), data_sh)
         prompt_mask = jax.device_put(jnp.asarray(prompt_mask), data_sh)
         rng = jax.device_put(rng, repl)
-        # trace-time switch: the Pallas prefill kernel cannot partition
-        # under GSPMD; XLA attention is the multi-chip formulation
-        with attention_impl("xla"):
+        # trace-time switches: Pallas kernels cannot partition under
+        # GSPMD; XLA attention (and the XLA int8 dot) are the
+        # multi-chip formulations
+        with attention_impl("xla"), int8_impl("xla"):
             return gen(svars, vision, prompt_ids, prompt_mask, rng)
 
     return generate, svars

@@ -33,6 +33,28 @@ _TP_RULES: Tuple[Tuple[Tuple[str, ...], P], ...] = (
     (("v_proj", "lora_b"), P(None, "model")),
     (("o_proj", "lora_a"), P("model", None)),
     (("embed_tokens", "embedding"), P(None, "model")),
+    # int8 decode collection (ops/quant.py): w8 shards like its bf16
+    # kernel twin; the per-output-channel scale shards with the OUTPUT
+    # dim — "model" where the output dim is split (q/k/v/gate/up),
+    # replicated where the contraction dim is split (o/down: the psum'd
+    # output is whole on every shard, default P() covers it).
+    (("q_proj", "w8"), P(None, "model")),
+    (("k_proj", "w8"), P(None, "model")),
+    (("v_proj", "w8"), P(None, "model")),
+    (("o_proj", "w8"), P("model", None)),
+    (("gate_proj", "w8"), P(None, "model")),
+    (("up_proj", "w8"), P(None, "model")),
+    (("down_proj", "w8"), P("model", None)),
+    (("q_proj", "scale"), P("model")),
+    (("k_proj", "scale"), P("model")),
+    (("v_proj", "scale"), P("model")),
+    (("gate_proj", "scale"), P("model")),
+    (("up_proj", "scale"), P("model")),
+    # the (D, V) LM-head int8 table splits the contraction dim D, the
+    # same feature axis the tied embed_tokens/embedding splits — logits
+    # come out of a psum of partial (B, V) products; the per-vocab-row
+    # scale (V,) stays replicated (512 KB f32 at the real vocab).
+    (("lm_head_w8",), P("model", None)),
 )
 
 
