@@ -36,6 +36,9 @@ Without --ckpt the predictor serves the deterministic random init
 (demo/smoke).  --quantize-decode serves generation with int8
 weight-only decode; --speculative uses prompt-lookup speculative greedy
 decoding (exact greedy output, fewer forwards on templated paragraphs).
+--model-parallel N serves /generate multi-chip: weights TP-sharded over
+a (data, model) mesh, request batches over data (parallel/serve_tp.py;
+composes with --quantize-decode, excludes the Pallas-only switches).
 """
 import json
 
@@ -61,12 +64,17 @@ def _build_predictor(args, cfg):
     if args.ckpt:
         params = restore_merge(args.ckpt, params)
     from tsue_tpu.data import get_tokenizer
+    mesh = None
+    if args.model_parallel:
+        from tsue_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(model_parallel=args.model_parallel)
     return Predictor(cfg, params, batch_size=args.serve_batch_size,
                      num_candidates=args.candidates,
                      tokenizer=get_tokenizer(args.tokenizer),
                      quantize_decode=args.quantize_decode,
                      fused_head=args.fused_head,
-                     quantize_kv=args.quantize_kv)
+                     quantize_kv=args.quantize_kv,
+                     mesh=mesh, fsdp=args.fsdp)
 
 
 def _jsonable(rec):
@@ -226,6 +234,18 @@ def main():
                    choices=("static", "continuous"),
                    help="generation scheduling: static batches or the "
                         "continuous slot-pool batcher (serve_batching.py)")
+    p.add_argument("--model-parallel", type=int, default=0,
+                   help="serve generation over all visible chips via a "
+                        "(data, model) mesh with this TP degree "
+                        "(parallel/serve_tp.py); 0 = single-chip.  "
+                        "model_parallel must divide the device count; "
+                        "v1 excludes --fused-head/--quantize-kv/"
+                        "--speculative/--batcher continuous (Pallas or "
+                        "unvalidated under GSPMD)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="with --model-parallel: additionally ZeRO-shard "
+                        "big replicated params over the data axis "
+                        "(capacity over latency)")
     p.add_argument("--max-new-tokens", type=int, default=64)
     p.add_argument("--generate", action="store_true",
                    help="batch mode: generate context text instead of "
@@ -236,6 +256,20 @@ def main():
                    help="start the HTTP API on 127.0.0.1:PORT instead of "
                         "batch mode")
     args = p.parse_args()
+    if args.model_parallel:
+        # fail loudly at startup, not deep in the first request (the
+        # Predictor re-checks fused_head/quantize_kv; speculative and the
+        # continuous batcher would otherwise surface mid-request)
+        bad = [f for f, on in (("--fused-head", args.fused_head),
+                               ("--quantize-kv", args.quantize_kv),
+                               ("--speculative", args.speculative),
+                               ("--batcher continuous",
+                                args.batcher == "continuous")) if on]
+        if bad:
+            p.error(f"--model-parallel excludes {', '.join(bad)} "
+                    "(single-chip-only paths in v1 — serve_tp.py)")
+    elif args.fsdp:
+        p.error("--fsdp requires --model-parallel")
 
     from tsue_tpu.config import get_preset
     cfg = apply_overrides(get_preset(args.preset), args)

@@ -1,0 +1,99 @@
+"""Mesh-aware Predictor serving (serve.py + parallel/serve_tp.py): the
+production request path (track ingest -> prompt building -> bucketing ->
+chunked decode) running over a sharded mesh, pinned against the
+single-chip Predictor on the 8-device virtual CPU mesh."""
+import jax.numpy as jnp
+import pytest
+
+from tsue_tpu.config import (DataConfig, ExperimentConfig, LaneEncoderConfig,
+                             LlamaConfig, LTSFConfig, ModelConfig,
+                             QFormerConfig, TrainConfig)
+from tsue_tpu.data import make_synthetic_tracks
+from tsue_tpu.data.tokenizer import ByteTokenizer
+from tsue_tpu.models.tsue import TrajectoryModel
+from tsue_tpu.parallel.mesh import make_mesh
+from tsue_tpu.serve import Predictor
+
+
+@pytest.fixture(scope="module")
+def llm_setup():
+    import jax
+    tok = ByteTokenizer()
+    cfg = ExperimentConfig(
+        name="serve-mesh",
+        data=DataConfig(seq_len=6, out_len=6, max_length=640),
+        model=ModelConfig(
+            llama=LlamaConfig.tiny(tok.vocab_size),
+            qformer=QFormerConfig(num_encoder_layers=1, num_decoder_layers=1,
+                                  num_query_tokens=4),
+            lane=LaneEncoderConfig(d_model=16, nhead=2, num_layers=1),
+            ltsf=LTSFConfig(d_model=16, polygon_embed_dim=16)),
+        train=TrainConfig(batch_size=8))
+    model = TrajectoryModel(cfg.model, 6, 6)
+    dummy = Predictor(cfg, None, batch_size=2)._dummy_batch()
+    vs = model.init({"params": jax.random.key(0),
+                     "dropout": jax.random.key(1)}, dummy, False)
+    tracks = make_synthetic_tracks(num_tracks=2, track_len=300, seed=9)
+    ref = Predictor(cfg, vs["params"], batch_size=8).generate_context(
+        tracks, max_new_tokens=6)
+    return cfg, vs["params"], tracks, ref
+
+
+def test_pure_dp_matches_single_chip(llm_setup):
+    """mesh with model_parallel=1: every request row decodes whole on
+    one device — the served text is the single-chip Predictor's,
+    through the full ingest/bucket/chunk request path."""
+    cfg, params, tracks, ref = llm_setup
+    p = Predictor(cfg, params, batch_size=8, mesh=make_mesh(1))
+    out = p.generate_context(tracks, max_new_tokens=6)
+    assert out == ref
+
+
+def test_tp_int8_serves_and_shards(llm_setup):
+    """model_parallel=2 + quantize_decode: text comes back for every
+    track and the placed tree holds model-axis-sharded int8 tables."""
+    cfg, params, tracks, ref = llm_setup
+    p = Predictor(cfg, params, batch_size=8, mesh=make_mesh(2),
+                  quantize_decode=True)
+    out = p.generate_context(tracks, max_new_tokens=6)
+    assert len(out) == len(ref)
+    assert all(isinstance(r["context"], str) for r in out)
+    w8 = p._svars["quant"]["llama"]["model"]["layer_0"]["attn"][
+        "q_proj"]["w8"]
+    assert w8.dtype == jnp.int8
+    assert w8.sharding.spec[1] == "model"
+
+
+def test_weight_placement_reused_across_programs(llm_setup):
+    """A second (cap, bucket) program reuses the first build's sharded
+    tree — the placement (and any quantization) happens once per
+    server, not once per compiled program."""
+    cfg, params, tracks, _ = llm_setup
+    p = Predictor(cfg, params, batch_size=8, mesh=make_mesh(1))
+    p.generate_context(tracks, max_new_tokens=4)
+    first = p._svars
+    assert first is not None
+    p.generate_context(tracks, max_new_tokens=6)   # new cap, new program
+    emb0 = first["params"]["llama"]["model"]["embed_tokens"]["embedding"]
+    emb1 = p._svars["params"]["llama"]["model"]["embed_tokens"]["embedding"]
+    assert emb1 is emb0                            # same placed leaf
+
+
+def test_incompatible_modes_fail_loudly(llm_setup):
+    """v1 single-chip-only paths are rejected with ValueError, never
+    silently served unsharded (the CLI mirrors these at startup)."""
+    cfg, params, tracks, _ = llm_setup
+    mesh = make_mesh(1)
+    with pytest.raises(ValueError, match="fused_head"):
+        Predictor(cfg, params, batch_size=8, mesh=mesh, fused_head=True)
+    with pytest.raises(ValueError, match="quantize_kv"):
+        Predictor(cfg, params, batch_size=8, mesh=mesh, quantize_kv=True)
+    with pytest.raises(ValueError, match="divide"):
+        Predictor(cfg, params, batch_size=3, mesh=make_mesh(2))
+    with pytest.raises(ValueError, match="requires a mesh"):
+        Predictor(cfg, params, batch_size=8, fsdp=True)
+    p = Predictor(cfg, params, batch_size=8, mesh=mesh)
+    with pytest.raises(ValueError, match="speculative"):
+        p.generate_context(tracks, max_new_tokens=4, speculative=True)
+    with pytest.raises(ValueError, match="single-chip"):
+        p.generate_context_batched(tracks, max_new_tokens=4)

@@ -39,7 +39,8 @@ class Predictor:
     def __init__(self, cfg: ExperimentConfig, params,
                  batch_size: int = 16, num_candidates: int = 0,
                  tokenizer=None, quantize_decode: bool = False,
-                 fused_head: bool = False, quantize_kv: bool = False):
+                 fused_head: bool = False, quantize_kv: bool = False,
+                 mesh=None, fsdp: bool = False):
         """``quantize_decode``: serve ``generate_context`` with int8
         weight-only decode (ops/quant.py) — halves the per-step HBM
         weight stream; prediction/rollout paths are unaffected.
@@ -51,13 +52,43 @@ class Predictor:
         ``quantize_kv``: int8 KV caches for every generation path —
         static, speculative AND batched (ops/kv_quant.py; prefill stays
         exact, the decode cache stream halves); composes with both
-        switches above."""
+        switches above.
+        ``mesh``: a ``("data", "model")`` jax.sharding.Mesh
+        (parallel/mesh.make_mesh) — ``generate_context`` then runs the
+        multi-chip sharded generator (parallel/serve_tp.py): weights
+        TP-split over "model", request batches over "data", one weight
+        placement reused across every (cap, bucket) program; composes
+        with ``quantize_decode``.  ``fsdp=True`` additionally
+        ZeRO-shards big replicated params over "data".  Pure-DP meshes
+        (model_parallel=1) are bitwise the single-chip decode; TP
+        carries the psum tie caveat (serve_tp.py).  The Pallas-backed
+        switches (``fused_head``, ``quantize_kv``), speculative
+        decoding, the continuous batcher, and ``predict`` stay
+        single-chip in v1 and are rejected loudly rather than silently
+        served unsharded."""
         self.cfg = cfg
         self.batch_size = batch_size
         self.num_candidates = num_candidates
         self.quantize_decode = quantize_decode
         self.fused_head = fused_head
         self.quantize_kv = quantize_kv
+        self.mesh = mesh
+        self.fsdp = fsdp
+        self._svars = None      # sharded weight placement, built once
+        if mesh is not None:
+            if fused_head or quantize_kv:
+                raise ValueError(
+                    "mesh serving cannot use fused_head/quantize_kv: "
+                    "their Pallas kernels do not auto-partition under "
+                    "GSPMD (parallel/serve_tp.py v1 restrictions)")
+            n_data = mesh.shape.get("data", 1)
+            if batch_size % n_data:
+                raise ValueError(
+                    f"batch_size={batch_size} must divide the mesh's "
+                    f"data axis ({n_data}): every generation chunk is "
+                    "padded to batch_size and sharded over \"data\"")
+        elif fsdp:
+            raise ValueError("fsdp=True requires a mesh")
         if fused_head and batch_size >= 32:
             import warnings
             warnings.warn(
@@ -133,15 +164,18 @@ class Predictor:
             "attention_mask": jnp.ones((B, L), jnp.int32),
         }
 
+    def _mllm_module(self):
+        from tsue_tpu.models.fusion import MultiModalLLM
+        return MultiModalLLM(llama=self.cfg.model.llama,
+                             qformer=self.cfg.model.qformer,
+                             use_vision=self.cfg.model.use_vision)
+
     def _mllm_variables(self):
         """MLLM module + serving variables, quant tables built lazily —
         shared by the static (generate_context) and continuous
         (continuous_batcher) serving paths so quant/MLLM plumbing can
         never skew between them."""
-        from tsue_tpu.models.fusion import MultiModalLLM
-        mllm = MultiModalLLM(llama=self.cfg.model.llama,
-                             qformer=self.cfg.model.qformer,
-                             use_vision=self.cfg.model.use_vision)
+        mllm = self._mllm_module()
         variables = {"params": self.params["mllm"]}
         if self.quantize_decode:
             if self._quant is None:
@@ -175,6 +209,37 @@ class Predictor:
         sampling = sampling or SamplingConfig()
         prompt_len = prompt_len or self.cfg.data.max_length
         key = (max_new_tokens, speculative, repr(sampling), prompt_len)
+
+        if self.mesh is not None:
+            if speculative:
+                raise ValueError(
+                    "speculative decoding is single-chip in v1: the "
+                    "window-scatter draft path is not validated under "
+                    "GSPMD (parallel/serve_tp.py) — drop speculative=True "
+                    "or serve without a mesh")
+
+            def build_sharded():
+                from tsue_tpu.parallel.serve_tp import \
+                    make_sharded_generate_fn
+                mllm = self._mllm_module()
+                # reuse the first build's placement: device_put of an
+                # already-committed leaf onto its own sharding is a no-op,
+                # so later (cap, bucket) programs pay trace+compile only —
+                # never a second weight transfer (or re-quantization: the
+                # placed tree already carries the quant collection)
+                variables = self._svars or {"params": self.params["mllm"]}
+                gen, self._svars = make_sharded_generate_fn(
+                    mllm, variables, sampling, max_new_tokens, prompt_len,
+                    self.tokenizer.eos_id, mesh=self.mesh,
+                    pad_id=self.tokenizer.pad_id, fsdp=self.fsdp,
+                    quantize_decode=self.quantize_decode)
+                # the sharded closure owns its weights; adapt to the
+                # (variables, vision, ids, mask, rng) calling convention
+                # the request loop uses
+                return (lambda v, vis, ids, mask, rng:
+                        gen(vis, ids, mask, rng)), self._svars
+
+            return self._cache_get(self._generators, key, build_sharded)
 
         def build():
             mllm, variables = self._mllm_variables()
@@ -487,6 +552,12 @@ class Predictor:
         ``window`` >= 2 enables the speculative window mode (bitwise the
         plain pool's output, fewer weight streams)."""
         assert self.cfg.model.use_llm, "use_llm=False predictor"
+        if self.mesh is not None:
+            raise ValueError(
+                "the continuous batcher is single-chip in v1: its "
+                "slot-scatter admission programs are not validated under "
+                "GSPMD (parallel/serve_tp.py) — use generate_context with "
+                "the mesh, or drop the mesh for slot-pool scheduling")
         from tsue_tpu.ops.sampling import SamplingConfig
         from tsue_tpu.serve_batching import ContinuousBatcher
         mllm, variables = self._mllm_variables()
