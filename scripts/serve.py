@@ -239,8 +239,9 @@ def main():
                         "(data, model) mesh with this TP degree "
                         "(parallel/serve_tp.py); 0 = single-chip.  "
                         "model_parallel must divide the device count; "
-                        "v1 excludes --fused-head/--quantize-kv/"
-                        "--speculative/--batcher continuous (Pallas or "
+                        "composes with --quantize-decode and "
+                        "--speculative; v1 excludes --fused-head/"
+                        "--quantize-kv/--batcher continuous (Pallas or "
                         "unvalidated under GSPMD)")
     p.add_argument("--fsdp", action="store_true",
                    help="with --model-parallel: additionally ZeRO-shard "
@@ -262,7 +263,6 @@ def main():
         # continuous batcher would otherwise surface mid-request)
         bad = [f for f, on in (("--fused-head", args.fused_head),
                                ("--quantize-kv", args.quantize_kv),
-                               ("--speculative", args.speculative),
                                ("--batcher continuous",
                                 args.batcher == "continuous")) if on]
         if bad:

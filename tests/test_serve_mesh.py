@@ -93,7 +93,17 @@ def test_incompatible_modes_fail_loudly(llm_setup):
     with pytest.raises(ValueError, match="requires a mesh"):
         Predictor(cfg, params, batch_size=8, fsdp=True)
     p = Predictor(cfg, params, batch_size=8, mesh=mesh)
-    with pytest.raises(ValueError, match="speculative"):
-        p.generate_context(tracks, max_new_tokens=4, speculative=True)
     with pytest.raises(ValueError, match="single-chip"):
         p.generate_context_batched(tracks, max_new_tokens=4)
+
+
+def test_speculative_composes_with_mesh(llm_setup):
+    """speculative=True under a pure-DP mesh serves the single-chip
+    speculative decode's text (the while_loop body is plain XLA —
+    GSPMD partitions it like the token-at-a-time scan)."""
+    cfg, params, tracks, _ = llm_setup
+    ref = Predictor(cfg, params, batch_size=8).generate_context(
+        tracks, max_new_tokens=6, speculative=True)
+    p = Predictor(cfg, params, batch_size=8, mesh=make_mesh(1))
+    out = p.generate_context(tracks, max_new_tokens=6, speculative=True)
+    assert out == ref

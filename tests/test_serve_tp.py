@@ -136,6 +136,47 @@ def test_int8_tp_agrees_and_quant_tables_shard(tiny_gen_setup):
     assert (out == ref).mean() >= 0.9
 
 
+def test_speculative_pure_dp_bitwise(tiny_gen_setup):
+    """speculative=True under pure DP == the single-device speculative
+    decode, bitwise (the window while_loop is plain XLA under GSPMD)."""
+    mllm, variables, cfg, vision, ids, mask, _ = tiny_gen_setup
+    from tsue_tpu.eval.speculative import make_speculative_generate_fn
+    ref_gen = make_speculative_generate_fn(mllm, cfg, MAX_NEW,
+                                           ids.shape[1], eos_id=383,
+                                           pad_id=0)
+    ref = np.asarray(ref_gen(variables, vision, ids, mask,
+                             jax.random.key(9)))
+    mesh = make_mesh(model_parallel=1)
+    gen, _ = make_sharded_generate_fn(mllm, variables, cfg, MAX_NEW,
+                                      ids.shape[1], eos_id=383, mesh=mesh,
+                                      speculative=True)
+    out = np.asarray(gen(vision, ids, mask, jax.random.key(9)))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_speculative_tp_agrees(tiny_gen_setup):
+    """speculative=True under TP=2 (+int8): the window forward's
+    contractions split like the plain decode's — same psum tie caveat,
+    same >=0.9 agreement bar vs the single-device int8 SPECULATIVE
+    decode (the right arm: quantization error must hit both sides)."""
+    mllm, variables, cfg, vision, ids, mask, _ = tiny_gen_setup
+    from tsue_tpu.eval.speculative import make_speculative_generate_fn
+    from tsue_tpu.ops.quant import with_quantized_decode
+    qvars = with_quantized_decode(variables)
+    ref_gen = make_speculative_generate_fn(mllm, cfg, MAX_NEW,
+                                           ids.shape[1], eos_id=383,
+                                           pad_id=0)
+    ref = np.asarray(ref_gen(qvars, vision, ids, mask,
+                             jax.random.key(9)))
+    mesh = make_mesh(model_parallel=2)
+    gen, _ = make_sharded_generate_fn(
+        mllm, variables, cfg, MAX_NEW, ids.shape[1], eos_id=383,
+        mesh=mesh, speculative=True, quantize_decode=True)
+    out = np.asarray(gen(vision, ids, mask, jax.random.key(9)))
+    assert out.shape == ref.shape
+    assert (out == ref).mean() >= 0.9
+
+
 def test_sampled_dp_bitwise(tiny_gen_setup):
     """The production sampled chain under pure DP is also bitwise (the
     per-step keys are replicated; each row draws identically)."""

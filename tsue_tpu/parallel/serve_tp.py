@@ -54,7 +54,9 @@ def make_sharded_generate_fn(mllm, variables, cfg: SamplingConfig,
                              fsdp: bool = False,
                              fsdp_min_size: Optional[int] = None,
                              early_exit_chunk: Optional[int] = 8,
-                             quantize_decode: bool = False):
+                             quantize_decode: bool = False,
+                             speculative: bool = False,
+                             spec_window: int = 8):
     """Build a multi-chip generator: ``(vision, prompt_ids, prompt_mask,
     rng) -> (B, max_new_tokens) int32`` with weights TP-sharded over
     ``mesh``'s "model" axis and the batch over "data".
@@ -75,19 +77,34 @@ def make_sharded_generate_fn(mllm, variables, cfg: SamplingConfig,
     cannot auto-partition).  Per shard the decode weight stream still
     halves, the same bandwidth argument as single-chip (ops/quant.py).
 
+    ``speculative=True``: prompt-lookup speculative decoding
+    (eval/speculative.py, ``spec_window`` tokens scored per forward) —
+    its single while_loop body is plain XLA (masked scatters, per-row
+    offsets), so GSPMD partitions it like the token-at-a-time scan;
+    pure-DP stays bitwise the single-device speculative decode and the
+    TP caveat is unchanged (tests/test_serve_tp.py).  Per-window the
+    sharded weight stream is read once for the whole window — the
+    speculation and TP wins compose.
+
     Returns ``(generate, sharded_variables)`` — the tree is returned so
     callers can free their unsharded copy / reuse the placement.
     """
     from tsue_tpu.eval.generation import make_generate_fn
+    from tsue_tpu.eval.speculative import make_speculative_generate_fn
     from tsue_tpu.ops.quant import int8_impl, with_quantized_decode
 
     if quantize_decode and "quant" not in variables:
         variables = with_quantized_decode(variables)
     kw = {} if fsdp_min_size is None else {"fsdp_min_size": fsdp_min_size}
     svars = shard_params(variables, mesh, fsdp=fsdp, **kw)
-    gen = make_generate_fn(mllm, cfg, max_new_tokens, prompt_len,
-                           eos_id=eos_id, pad_id=pad_id,
-                           early_exit_chunk=early_exit_chunk)
+    if speculative:
+        gen = make_speculative_generate_fn(
+            mllm, cfg, max_new_tokens, prompt_len, eos_id=eos_id,
+            pad_id=pad_id, window=spec_window)
+    else:
+        gen = make_generate_fn(mllm, cfg, max_new_tokens, prompt_len,
+                               eos_id=eos_id, pad_id=pad_id,
+                               early_exit_chunk=early_exit_chunk)
     data_sh = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
 

@@ -61,11 +61,11 @@ class Predictor:
         with ``quantize_decode``.  ``fsdp=True`` additionally
         ZeRO-shards big replicated params over "data".  Pure-DP meshes
         (model_parallel=1) are bitwise the single-chip decode; TP
-        carries the psum tie caveat (serve_tp.py).  The Pallas-backed
-        switches (``fused_head``, ``quantize_kv``), speculative
-        decoding, the continuous batcher, and ``predict`` stay
-        single-chip in v1 and are rejected loudly rather than silently
-        served unsharded."""
+        carries the psum tie caveat (serve_tp.py).  Speculative
+        decoding composes (its while_loop body is plain XLA).  The
+        Pallas-backed switches (``fused_head``, ``quantize_kv``), the
+        continuous batcher, and ``predict`` stay single-chip in v1 and
+        are rejected loudly rather than silently served unsharded."""
         self.cfg = cfg
         self.batch_size = batch_size
         self.num_candidates = num_candidates
@@ -211,13 +211,6 @@ class Predictor:
         key = (max_new_tokens, speculative, repr(sampling), prompt_len)
 
         if self.mesh is not None:
-            if speculative:
-                raise ValueError(
-                    "speculative decoding is single-chip in v1: the "
-                    "window-scatter draft path is not validated under "
-                    "GSPMD (parallel/serve_tp.py) — drop speculative=True "
-                    "or serve without a mesh")
-
             def build_sharded():
                 from tsue_tpu.parallel.serve_tp import \
                     make_sharded_generate_fn
@@ -232,7 +225,8 @@ class Predictor:
                     mllm, variables, sampling, max_new_tokens, prompt_len,
                     self.tokenizer.eos_id, mesh=self.mesh,
                     pad_id=self.tokenizer.pad_id, fsdp=self.fsdp,
-                    quantize_decode=self.quantize_decode)
+                    quantize_decode=self.quantize_decode,
+                    speculative=speculative)
                 # the sharded closure owns its weights; adapt to the
                 # (variables, vision, ids, mask, rng) calling convention
                 # the request loop uses
