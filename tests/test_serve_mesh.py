@@ -3,6 +3,7 @@ production request path (track ingest -> prompt building -> bucketing ->
 chunked decode) running over a sharded mesh, pinned against the
 single-chip Predictor on the 8-device virtual CPU mesh."""
 import jax.numpy as jnp
+import numpy as np
 import pytest
 
 from tsue_tpu.config import (DataConfig, ExperimentConfig, LaneEncoderConfig,
@@ -95,6 +96,35 @@ def test_incompatible_modes_fail_loudly(llm_setup):
     p = Predictor(cfg, params, batch_size=8, mesh=mesh)
     with pytest.raises(ValueError, match="single-chip"):
         p.generate_context_batched(tracks, max_new_tokens=4)
+
+
+def test_predict_runs_sharded(llm_setup):
+    """predict (and the K-candidate rollout) run over the mesh too:
+    pure-DP output equals the single-chip predictor's (row-local math),
+    and the placed tree engages the data axis."""
+    cfg, params, tracks, _ = llm_setup
+    ref_p = Predictor(cfg, params, batch_size=8, num_candidates=2)
+    mesh_p = Predictor(cfg, params, batch_size=8, num_candidates=2,
+                       mesh=make_mesh(1))
+    ref = ref_p.predict(tracks)
+    out = mesh_p.predict(tracks)
+    assert len(out) == len(ref) > 0
+    for a, b in zip(out, ref):
+        assert a["track_id"] == b["track_id"]
+        np.testing.assert_allclose(a["pred_pixel_xy"], b["pred_pixel_xy"],
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(a["candidates_pixel_xy"],
+                                   b["candidates_pixel_xy"],
+                                   rtol=1e-6, atol=1e-6)
+    # TP=2: weights actually split, predictions stay close (psum order)
+    tp_p = Predictor(cfg, params, batch_size=8, mesh=make_mesh(2))
+    q = tp_p._predict_params()["mllm"]["llama"]["model"]["layer_0"][
+        "attn"]["q_proj"]["kernel"]
+    assert any(ax == "model" for ax in q.sharding.spec if ax is not None)
+    out_tp = tp_p.predict(tracks)
+    for a, b in zip(out_tp, ref):
+        np.testing.assert_allclose(a["pred_pixel_xy"], b["pred_pixel_xy"],
+                                   rtol=1e-3, atol=1e-3)
 
 
 def test_speculative_composes_with_mesh(llm_setup):

@@ -62,10 +62,12 @@ class Predictor:
         ZeRO-shards big replicated params over "data".  Pure-DP meshes
         (model_parallel=1) are bitwise the single-chip decode; TP
         carries the psum tie caveat (serve_tp.py).  Speculative
-        decoding composes (its while_loop body is plain XLA).  The
-        Pallas-backed switches (``fused_head``, ``quantize_kv``), the
-        continuous batcher, and ``predict`` stay single-chip in v1 and
-        are rejected loudly rather than silently served unsharded."""
+        decoding composes (its while_loop body is plain XLA), and
+        ``predict``/the K-candidate rollout run sharded too (same
+        partition rules, batches over "data").  The Pallas-backed
+        switches (``fused_head``, ``quantize_kv``) and the continuous
+        batcher stay single-chip in v1 and are rejected loudly rather
+        than silently served unsharded."""
         self.cfg = cfg
         self.batch_size = batch_size
         self.num_candidates = num_candidates
@@ -74,7 +76,8 @@ class Predictor:
         self.quantize_kv = quantize_kv
         self.mesh = mesh
         self.fsdp = fsdp
-        self._svars = None      # sharded weight placement, built once
+        self._svars = None      # sharded MLLM placement (generation)
+        self._pvars = None      # sharded full-tree placement (predict)
         if mesh is not None:
             if fused_head or quantize_kv:
                 raise ValueError(
@@ -143,11 +146,13 @@ class Predictor:
 
     def warmup(self):
         """Compile all programs against dummy data (call at startup)."""
-        b = self._dummy_batch()
-        jax.block_until_ready(self._predict(self.params, b))
-        if self.num_candidates:
-            jax.block_until_ready(
-                self._rollout(self.params, b, jax.random.key(0)))
+        b = self._place_batch(self._dummy_batch())
+        p = self._predict_params()
+        with self._attn_ctx():
+            jax.block_until_ready(self._predict(p, b))
+            if self.num_candidates:
+                jax.block_until_ready(
+                    self._rollout(p, b, jax.random.key(0)))
         return self
 
     def _dummy_batch(self):
@@ -163,6 +168,38 @@ class Predictor:
             "input_ids": jnp.zeros((B, L), jnp.int32),
             "attention_mask": jnp.ones((B, L), jnp.int32),
         }
+
+    def _predict_params(self):
+        """Params for the predict/rollout programs: the raw tree on one
+        chip, or (built once, cached) the TP(+FSDP)-sharded placement
+        over the mesh — the same partition rules the generation path
+        uses (the TrajectoryModel's mllm subtree carries the same
+        q_proj/... paths the rules match; everything else replicates)."""
+        if self.mesh is None:
+            return self.params
+        if self._pvars is None:
+            from tsue_tpu.parallel.sharding import shard_params
+            self._pvars = shard_params({"params": self.params}, self.mesh,
+                                       fsdp=self.fsdp)["params"]
+        return self._pvars
+
+    def _place_batch(self, batch):
+        """Shard a leading-axis-B batch pytree over the mesh's "data"
+        axis (no-op single-chip)."""
+        if self.mesh is None:
+            return batch
+        from tsue_tpu.parallel.mesh import batch_sharding
+        return jax.device_put(batch, batch_sharding(self.mesh))
+
+    def _attn_ctx(self):
+        """Trace-time attention formulation for predict/rollout traces:
+        Pallas kernels cannot partition under GSPMD, so mesh programs
+        pin XLA attention (cf. parallel/serve_tp.py)."""
+        if self.mesh is None:
+            import contextlib
+            return contextlib.nullcontext()
+        from tsue_tpu.ops.attention import attention_impl
+        return attention_impl("xla")
 
     def _mllm_module(self):
         from tsue_tpu.models.fusion import MultiModalLLM
@@ -579,6 +616,7 @@ class Predictor:
         results: List[Dict] = []
         B = self.batch_size
         rng = rng if rng is not None else jax.random.key(0)
+        params = self._predict_params()
         for s in range(0, n, B):
             idx = np.arange(s, min(s + B, n))
             pad = B - len(idx)
@@ -586,16 +624,19 @@ class Predictor:
             full = ds.slice(sel).as_batch_dict()
             # restrict to the warmup pytree keys: jit caches on dict
             # structure, so extra keys would force a fresh compile
-            batch = {k: jnp.asarray(full[k]) for k in self._model_keys}
+            batch = self._place_batch(
+                {k: jnp.asarray(full[k]) for k in self._model_keys})
             norm_stat = jnp.asarray(full["norm_stat"])
             track_ids = full["track_id"]
-            pred = self._predict(self.params, batch)
+            with self._attn_ctx():
+                pred = self._predict(params, batch)
             pred_px = np.asarray(denorm(pred, norm_stat))
             past_px = np.asarray(denorm(batch["traj_in"], norm_stat))
             cands_px = None
             if self.num_candidates:
-                cands = self._rollout(self.params, batch,
-                                      jax.random.fold_in(rng, s))
+                with self._attn_ctx():
+                    cands = self._rollout(params, batch,
+                                          jax.random.fold_in(rng, s))
                 K = self.num_candidates
                 ns = jnp.repeat(norm_stat, K, axis=0)
                 cands_px = np.asarray(denorm(
