@@ -36,9 +36,10 @@ Without --ckpt the predictor serves the deterministic random init
 (demo/smoke).  --quantize-decode serves generation with int8
 weight-only decode; --speculative uses prompt-lookup speculative greedy
 decoding (exact greedy output, fewer forwards on templated paragraphs).
---model-parallel N serves /generate multi-chip: weights TP-sharded over
-a (data, model) mesh, request batches over data (parallel/serve_tp.py;
-composes with --quantize-decode, excludes the Pallas-only switches).
+--model-parallel N serves multi-chip: weights TP-sharded over a
+(data, model) mesh, request batches over data (parallel/serve_tp.py;
+composes with --quantize-decode, --quantize-kv and --speculative;
+excludes --fused-head and --batcher continuous).
 """
 import json
 
@@ -239,9 +240,9 @@ def main():
                         "(data, model) mesh with this TP degree "
                         "(parallel/serve_tp.py); 0 = single-chip.  "
                         "model_parallel must divide the device count; "
-                        "composes with --quantize-decode and "
-                        "--speculative; v1 excludes --fused-head/"
-                        "--quantize-kv/--batcher continuous (Pallas or "
+                        "composes with --quantize-decode, "
+                        "--quantize-kv and --speculative; v1 excludes "
+                        "--fused-head/--batcher continuous (Pallas or "
                         "unvalidated under GSPMD)")
     p.add_argument("--fsdp", action="store_true",
                    help="with --model-parallel: additionally ZeRO-shard "
@@ -262,7 +263,6 @@ def main():
         # Predictor re-checks fused_head/quantize_kv; speculative and the
         # continuous batcher would otherwise surface mid-request)
         bad = [f for f, on in (("--fused-head", args.fused_head),
-                               ("--quantize-kv", args.quantize_kv),
                                ("--batcher continuous",
                                 args.batcher == "continuous")) if on]
         if bad:

@@ -87,8 +87,6 @@ def test_incompatible_modes_fail_loudly(llm_setup):
     mesh = make_mesh(1)
     with pytest.raises(ValueError, match="fused_head"):
         Predictor(cfg, params, batch_size=8, mesh=mesh, fused_head=True)
-    with pytest.raises(ValueError, match="quantize_kv"):
-        Predictor(cfg, params, batch_size=8, mesh=mesh, quantize_kv=True)
     with pytest.raises(ValueError, match="divide"):
         Predictor(cfg, params, batch_size=3, mesh=make_mesh(2))
     with pytest.raises(ValueError, match="requires a mesh"):
@@ -136,4 +134,18 @@ def test_speculative_composes_with_mesh(llm_setup):
         tracks, max_new_tokens=6, speculative=True)
     p = Predictor(cfg, params, batch_size=8, mesh=make_mesh(1))
     out = p.generate_context(tracks, max_new_tokens=6, speculative=True)
+    assert out == ref
+
+
+def test_quantize_kv_composes_with_mesh(llm_setup):
+    """quantize_kv=True under a pure-DP mesh serves the single-chip
+    int8-KV decode's text (the default dequant-fused attention is plain
+    XLA; the cache's int8/scale arrays shard over data)."""
+    cfg, params, tracks, _ = llm_setup
+    ref = Predictor(cfg, params, batch_size=8,
+                    quantize_kv=True).generate_context(
+        tracks, max_new_tokens=6)
+    p = Predictor(cfg, params, batch_size=8, mesh=make_mesh(1),
+                  quantize_kv=True)
+    out = p.generate_context(tracks, max_new_tokens=6)
     assert out == ref

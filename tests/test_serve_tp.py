@@ -177,6 +177,24 @@ def test_speculative_tp_agrees(tiny_gen_setup):
     assert (out == ref).mean() >= 0.9
 
 
+def test_quantize_kv_pure_dp_bitwise(tiny_gen_setup):
+    """quantize_kv=True under pure DP == the single-device int8-KV
+    decode, bitwise (the XLA dequant-fused attention partitions; the
+    cache's int8/scale arrays ride the data axis)."""
+    mllm, variables, cfg, vision, ids, mask, _ = tiny_gen_setup
+    from tsue_tpu.eval.generation import make_generate_fn
+    ref_gen = make_generate_fn(mllm, cfg, MAX_NEW, ids.shape[1],
+                               eos_id=383, pad_id=0, quantize_kv=True)
+    ref = np.asarray(ref_gen(variables, vision, ids, mask,
+                             jax.random.key(9)))
+    mesh = make_mesh(model_parallel=1)
+    gen, _ = make_sharded_generate_fn(mllm, variables, cfg, MAX_NEW,
+                                      ids.shape[1], eos_id=383, mesh=mesh,
+                                      quantize_kv=True)
+    out = np.asarray(gen(vision, ids, mask, jax.random.key(9)))
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_sampled_dp_bitwise(tiny_gen_setup):
     """The production sampled chain under pure DP is also bitwise (the
     per-step keys are replicated; each row draws identically)."""

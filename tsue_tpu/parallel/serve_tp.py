@@ -21,11 +21,15 @@ fundamental:
   faster on XLA anyway (PARITY.md decode profile); only the one-time
   prefill would ever want the flash kernel back (a shard_map wrapper —
   future work);
-- ``fused_head``/``quantize_kv`` (both Pallas) stay off for the same
-  reason.  Int8 *weights* DO compose (``quantize_decode=True``): the
-  quant tables shard like their bf16 twins (sharding.py quant rules)
-  and the decode traces the dequant-fused XLA dot
-  (``ops.quant.int8_impl("xla")``), which GSPMD partitions normally.
+- ``fused_head`` (Pallas) stays off for the same reason.  Int8
+  *weights* DO compose (``quantize_decode=True``): the quant tables
+  shard like their bf16 twins (sharding.py quant rules) and the decode
+  traces the dequant-fused XLA dot (``ops.quant.int8_impl("xla")``),
+  which GSPMD partitions normally.  The int8 *KV cache* composes too
+  (``quantize_kv=True``): its default formulation is already the XLA
+  dequant-fused attention (``kv_attn_impl("xla")``, pinned here at
+  trace time), so the cache's int8/scale arrays simply shard over
+  "data" with the rest of the decode state.
 
 Correctness: pure-DP sharding (model_parallel=1) computes each batch row
 entirely on one device — bitwise the single-device decode.  TP splits
@@ -55,6 +59,7 @@ def make_sharded_generate_fn(mllm, variables, cfg: SamplingConfig,
                              fsdp_min_size: Optional[int] = None,
                              early_exit_chunk: Optional[int] = 8,
                              quantize_decode: bool = False,
+                             quantize_kv: bool = False,
                              speculative: bool = False,
                              spec_window: int = 8):
     """Build a multi-chip generator: ``(vision, prompt_ids, prompt_mask,
@@ -77,6 +82,11 @@ def make_sharded_generate_fn(mllm, variables, cfg: SamplingConfig,
     cannot auto-partition).  Per shard the decode weight stream still
     halves, the same bandwidth argument as single-chip (ops/quant.py).
 
+    ``quantize_kv=True``: int8 KV caches (ops/kv_quant.py) — traced
+    under ``kv_attn_impl("xla")`` (the default dequant-fused
+    formulation), whose int8/scale arrays shard over "data" like the
+    bf16 cache; prefill stays exact, the per-shard cache stream halves.
+
     ``speculative=True``: prompt-lookup speculative decoding
     (eval/speculative.py, ``spec_window`` tokens scored per forward) —
     its single while_loop body is plain XLA (masked scatters, per-row
@@ -91,6 +101,7 @@ def make_sharded_generate_fn(mllm, variables, cfg: SamplingConfig,
     """
     from tsue_tpu.eval.generation import make_generate_fn
     from tsue_tpu.eval.speculative import make_speculative_generate_fn
+    from tsue_tpu.ops.kv_quant import kv_attn_impl
     from tsue_tpu.ops.quant import int8_impl, with_quantized_decode
 
     if quantize_decode and "quant" not in variables:
@@ -100,11 +111,12 @@ def make_sharded_generate_fn(mllm, variables, cfg: SamplingConfig,
     if speculative:
         gen = make_speculative_generate_fn(
             mllm, cfg, max_new_tokens, prompt_len, eos_id=eos_id,
-            pad_id=pad_id, window=spec_window)
+            pad_id=pad_id, window=spec_window, quantize_kv=quantize_kv)
     else:
         gen = make_generate_fn(mllm, cfg, max_new_tokens, prompt_len,
                                eos_id=eos_id, pad_id=pad_id,
-                               early_exit_chunk=early_exit_chunk)
+                               early_exit_chunk=early_exit_chunk,
+                               quantize_kv=quantize_kv)
     data_sh = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
 
@@ -119,9 +131,9 @@ def make_sharded_generate_fn(mllm, variables, cfg: SamplingConfig,
         prompt_mask = jax.device_put(jnp.asarray(prompt_mask), data_sh)
         rng = jax.device_put(rng, repl)
         # trace-time switches: Pallas kernels cannot partition under
-        # GSPMD; XLA attention (and the XLA int8 dot) are the
-        # multi-chip formulations
-        with attention_impl("xla"), int8_impl("xla"):
+        # GSPMD; XLA attention (and the XLA int8 dot / int8-KV
+        # dequant-fused attention) are the multi-chip formulations
+        with attention_impl("xla"), int8_impl("xla"), kv_attn_impl("xla"):
             return gen(svars, vision, prompt_ids, prompt_mask, rng)
 
     return generate, svars

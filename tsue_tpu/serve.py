@@ -62,12 +62,11 @@ class Predictor:
         ZeRO-shards big replicated params over "data".  Pure-DP meshes
         (model_parallel=1) are bitwise the single-chip decode; TP
         carries the psum tie caveat (serve_tp.py).  Speculative
-        decoding composes (its while_loop body is plain XLA), and
-        ``predict``/the K-candidate rollout run sharded too (same
-        partition rules, batches over "data").  The Pallas-backed
-        switches (``fused_head``, ``quantize_kv``) and the continuous
-        batcher stay single-chip in v1 and are rejected loudly rather
-        than silently served unsharded."""
+        decoding and ``quantize_kv`` compose (plain-XLA formulations),
+        and ``predict``/the K-candidate rollout run sharded too (same
+        partition rules, batches over "data").  ``fused_head`` (Pallas)
+        and the continuous batcher stay single-chip in v1 and are
+        rejected loudly rather than silently served unsharded."""
         self.cfg = cfg
         self.batch_size = batch_size
         self.num_candidates = num_candidates
@@ -79,11 +78,11 @@ class Predictor:
         self._svars = None      # sharded MLLM placement (generation)
         self._pvars = None      # sharded full-tree placement (predict)
         if mesh is not None:
-            if fused_head or quantize_kv:
+            if fused_head:
                 raise ValueError(
-                    "mesh serving cannot use fused_head/quantize_kv: "
-                    "their Pallas kernels do not auto-partition under "
-                    "GSPMD (parallel/serve_tp.py v1 restrictions)")
+                    "mesh serving cannot use fused_head: its Pallas "
+                    "kernel does not auto-partition under GSPMD "
+                    "(parallel/serve_tp.py v1 restriction)")
             n_data = mesh.shape.get("data", 1)
             if batch_size % n_data:
                 raise ValueError(
@@ -263,6 +262,7 @@ class Predictor:
                     self.tokenizer.eos_id, mesh=self.mesh,
                     pad_id=self.tokenizer.pad_id, fsdp=self.fsdp,
                     quantize_decode=self.quantize_decode,
+                    quantize_kv=self.quantize_kv,
                     speculative=speculative)
                 # the sharded closure owns its weights; adapt to the
                 # (variables, vision, ids, mask, rng) calling convention
