@@ -38,8 +38,8 @@ weight-only decode; --speculative uses prompt-lookup speculative greedy
 decoding (exact greedy output, fewer forwards on templated paragraphs).
 --model-parallel N serves multi-chip: weights TP-sharded over a
 (data, model) mesh, request batches over data (parallel/serve_tp.py;
-composes with --quantize-decode, --quantize-kv and --speculative;
-excludes --fused-head and --batcher continuous).
+composes with --quantize-decode, --quantize-kv, --speculative and
+--batcher continuous; excludes --fused-head).
 """
 import json
 
@@ -241,9 +241,8 @@ def main():
                         "(parallel/serve_tp.py); 0 = single-chip.  "
                         "model_parallel must divide the device count; "
                         "composes with --quantize-decode, "
-                        "--quantize-kv and --speculative; v1 excludes "
-                        "--fused-head/--batcher continuous (Pallas or "
-                        "unvalidated under GSPMD)")
+                        "--quantize-kv, --speculative and --batcher "
+                        "continuous; v1 excludes --fused-head (Pallas)")
     p.add_argument("--fsdp", action="store_true",
                    help="with --model-parallel: additionally ZeRO-shard "
                         "big replicated params over the data axis "
@@ -262,12 +261,9 @@ def main():
         # fail loudly at startup, not deep in the first request (the
         # Predictor re-checks fused_head/quantize_kv; speculative and the
         # continuous batcher would otherwise surface mid-request)
-        bad = [f for f, on in (("--fused-head", args.fused_head),
-                               ("--batcher continuous",
-                                args.batcher == "continuous")) if on]
-        if bad:
-            p.error(f"--model-parallel excludes {', '.join(bad)} "
-                    "(single-chip-only paths in v1 — serve_tp.py)")
+        if args.fused_head:
+            p.error("--model-parallel excludes --fused-head (Pallas "
+                    "kernel, single-chip-only in v1 — serve_tp.py)")
     elif args.fsdp:
         p.error("--fsdp requires --model-parallel")
 

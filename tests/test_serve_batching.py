@@ -303,3 +303,45 @@ def test_quantized_kv_pool_isolated_and_window_bitwise(mllm_and_vars):
                               chunk=1, **kw)._init_state()
     assert state.caches[0][0].dtype == jnp.int8
     assert len(state.caches[0]) == 4
+
+
+def test_mesh_pool_bitwise_matches_single_chip(mllm_and_vars):
+    """A pool over the 8-device mesh (serve_batching.py mesh notes):
+    pure-DP (slots sharded over data, weights replicated) is BITWISE the
+    single-chip pool — plain and speculative-window modes — and TP=2
+    engages sharded weights while keeping the per-request isolation
+    contract shape-intact."""
+    from tsue_tpu.parallel.mesh import make_mesh
+    from tsue_tpu.parallel.sharding import shard_params
+    mllm, variables = mllm_and_vars
+    sampling = SamplingConfig(temperature=1.0, top_k=8, top_p=0.9,
+                              repetition_penalty=1.2,
+                              no_repeat_ngram_size=3)
+    reqs = _requests(5, seed=17)
+    kw = dict(prompt_len=PROMPT_LEN, max_new_tokens=8, eos_id=EOS)
+    ref = ContinuousBatcher(mllm, variables, sampling, num_slots=8,
+                            chunk=3, **kw).run(reqs)
+    refw = ContinuousBatcher(mllm, variables, sampling, num_slots=8,
+                             chunk=3, window=4, **kw).run(reqs)
+    mesh = make_mesh(model_parallel=1)
+    svars = shard_params(variables, mesh)
+    got = ContinuousBatcher(mllm, svars, sampling, num_slots=8,
+                            chunk=3, mesh=mesh, **kw).run(reqs)
+    gotw = ContinuousBatcher(mllm, svars, sampling, num_slots=8,
+                             chunk=3, window=4, mesh=mesh, **kw).run(reqs)
+    for i in range(len(reqs)):
+        np.testing.assert_array_equal(got[i], ref[i])
+        np.testing.assert_array_equal(gotw[i], refw[i])
+    # TP=2: weights actually split; same request set completes with
+    # the right shapes (psum ties may flip tokens — no bitwise claim)
+    mesh2 = make_mesh(model_parallel=2)
+    svars2 = shard_params(variables, mesh2)
+    tp = ContinuousBatcher(mllm, svars2, sampling, num_slots=4,
+                           chunk=3, mesh=mesh2, **kw).run(reqs)
+    assert len(tp) == len(reqs)
+    for i, req in enumerate(reqs):
+        assert tp[i].shape[0] <= req["max_new"]
+    # slot divisibility contract
+    with pytest.raises(ValueError, match="divide"):
+        ContinuousBatcher(mllm, svars, sampling, num_slots=3,
+                          chunk=3, mesh=mesh, **kw)

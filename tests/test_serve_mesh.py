@@ -91,9 +91,16 @@ def test_incompatible_modes_fail_loudly(llm_setup):
         Predictor(cfg, params, batch_size=3, mesh=make_mesh(2))
     with pytest.raises(ValueError, match="requires a mesh"):
         Predictor(cfg, params, batch_size=8, fsdp=True)
-    p = Predictor(cfg, params, batch_size=8, mesh=mesh)
-    with pytest.raises(ValueError, match="single-chip"):
-        p.generate_context_batched(tracks, max_new_tokens=4)
+def test_batched_generation_composes_with_mesh(llm_setup):
+    """generate_context_batched under a pure-DP mesh serves the
+    single-chip batcher's text (pool state sharded over data; the
+    per-request chain keys make output scheduling-independent)."""
+    cfg, params, tracks, _ = llm_setup
+    ref = Predictor(cfg, params, batch_size=8).generate_context_batched(
+        tracks, max_new_tokens=6)
+    p = Predictor(cfg, params, batch_size=8, mesh=make_mesh(1))
+    out = p.generate_context_batched(tracks, max_new_tokens=6)
+    assert out == ref
 
 
 def test_predict_runs_sharded(llm_setup):

@@ -61,12 +61,13 @@ class Predictor:
         with ``quantize_decode``.  ``fsdp=True`` additionally
         ZeRO-shards big replicated params over "data".  Pure-DP meshes
         (model_parallel=1) are bitwise the single-chip decode; TP
-        carries the psum tie caveat (serve_tp.py).  Speculative
-        decoding and ``quantize_kv`` compose (plain-XLA formulations),
-        and ``predict``/the K-candidate rollout run sharded too (same
-        partition rules, batches over "data").  ``fused_head`` (Pallas)
-        and the continuous batcher stay single-chip in v1 and are
-        rejected loudly rather than silently served unsharded."""
+        carries the psum tie caveat (serve_tp.py).  Everything else
+        composes: speculative decoding and ``quantize_kv`` (plain-XLA
+        formulations), the continuous batcher (pool state sharded over
+        "data", serve_batching.py), and ``predict``/the K-candidate
+        rollout (same partition rules, batches over "data").  Only
+        ``fused_head`` (Pallas) stays single-chip in v1 and is rejected
+        loudly rather than silently served unsharded."""
         self.cfg = cfg
         self.batch_size = batch_size
         self.num_candidates = num_candidates
@@ -581,17 +582,20 @@ class Predictor:
         int8 quant tables when ``quantize_decode``): slot-pool scheduling
         for variable-length generation workloads — see serve_batching.py.
         ``window`` >= 2 enables the speculative window mode (bitwise the
-        plain pool's output, fewer weight streams)."""
+        plain pool's output, fewer weight streams).  With a mesh, the
+        pool state shards over "data" and the weights reuse the
+        generation path's TP placement (serve_batching.py mesh notes;
+        ``num_slots`` must divide the data axis)."""
         assert self.cfg.model.use_llm, "use_llm=False predictor"
-        if self.mesh is not None:
-            raise ValueError(
-                "the continuous batcher is single-chip in v1: its "
-                "slot-scatter admission programs are not validated under "
-                "GSPMD (parallel/serve_tp.py) — use generate_context with "
-                "the mesh, or drop the mesh for slot-pool scheduling")
         from tsue_tpu.ops.sampling import SamplingConfig
         from tsue_tpu.serve_batching import ContinuousBatcher
         mllm, variables = self._mllm_variables()
+        if self.mesh is not None:
+            from tsue_tpu.parallel.sharding import shard_params
+            if self._svars is None:
+                self._svars = shard_params(variables, self.mesh,
+                                           fsdp=self.fsdp)
+            variables = self._svars
         return ContinuousBatcher(
             mllm, variables, sampling or SamplingConfig(),
             num_slots=num_slots,
@@ -599,7 +603,8 @@ class Predictor:
                         else self.cfg.data.max_length),
             max_new_tokens=max_new_tokens,
             eos_id=self.tokenizer.eos_id, pad_id=self.tokenizer.pad_id,
-            chunk=chunk, window=window, quantize_kv=self.quantize_kv)
+            chunk=chunk, window=window, quantize_kv=self.quantize_kv,
+            mesh=self.mesh)
 
     def predict(self, tracks: Sequence[dict],
                 rng: Optional[jax.Array] = None) -> List[Dict]:

@@ -85,7 +85,7 @@ class ContinuousBatcher:
                  num_slots: int, prompt_len: int, max_new_tokens: int,
                  eos_id: int, pad_id: int = 0, chunk: int = 8,
                  window: int = 1, draft_ngram: int = 3,
-                 quantize_kv: bool = False):
+                 quantize_kv: bool = False, mesh=None):
         """``window``: 1 = plain token-at-a-time decoding; >= 2 enables
         speculative mode — each tick scores the committed token plus
         window-1 prompt-lookup drafts in one ``decode_window`` forward
@@ -95,9 +95,26 @@ class ContinuousBatcher:
         ``quantize_kv``: store the pool's KV caches per-token int8
         (ops/kv_quant.py) — admission prefills exactly in bf16 and
         quantizes the new rows before scattering them into the pool;
-        decode ticks read/write half the cache bytes."""
+        decode ticks read/write half the cache bytes.
+
+        ``mesh``: a ("data", "model") mesh (parallel/mesh.make_mesh) —
+        the pool state shards over "data" (every PoolState leaf leads
+        with the slot axis) and ``variables`` should arrive TP-sharded
+        (parallel/sharding.shard_params; serve.Predictor does this).
+        All three jitted programs are plain XLA (scatters, scans,
+        decode forwards), so GSPMD partitions them as-is; traces pin
+        the XLA attention/int8/int8-KV formulations exactly like
+        parallel/serve_tp.py.  ``num_slots`` must divide the data
+        axis.  Pure-DP pools are bitwise the single-chip pool
+        (tests/test_serve_batching.py)."""
         if window < 1:
             raise ValueError("window must be >= 1")
+        self.mesh = mesh
+        if mesh is not None and num_slots % mesh.shape.get("data", 1):
+            raise ValueError(
+                f"num_slots={num_slots} must divide the mesh's data "
+                f"axis ({mesh.shape.get('data', 1)}): the pool state "
+                "shards slot-major over \"data\"")
         self.quantize_kv = quantize_kv
         self.mllm = mllm
         self.variables = variables
@@ -129,6 +146,23 @@ class ContinuousBatcher:
         self._admit = jax.jit(self._admit_impl, donate_argnums=1)
         self._release = jax.jit(self._release_impl, donate_argnums=0)
 
+    def _impl_ctx(self):
+        """Trace-time formulation pins for mesh pools (no-op single
+        chip): Pallas kernels cannot partition under GSPMD — the XLA
+        attention / int8 dot / int8-KV attention are the multi-chip
+        formulations (cf. parallel/serve_tp.py)."""
+        import contextlib
+        if self.mesh is None:
+            return contextlib.nullcontext()
+        from tsue_tpu.ops.attention import attention_impl
+        from tsue_tpu.ops.kv_quant import kv_attn_impl
+        from tsue_tpu.ops.quant import int8_impl
+        es = contextlib.ExitStack()
+        es.enter_context(attention_impl("xla"))
+        es.enter_context(int8_impl("xla"))
+        es.enter_context(kv_attn_impl("xla"))
+        return es
+
     # ---- jitted programs -------------------------------------------------
 
     def _init_state(self) -> PoolState:
@@ -147,7 +181,7 @@ class ContinuousBatcher:
         else:
             caches = tuple((jnp.zeros(shape, dt), jnp.zeros(shape, dt))
                            for _ in range(c.num_layers))
-        return PoolState(
+        state = PoolState(
             caches=caches,
             history=jnp.full((B, self._hist_len), self.pad_id, jnp.int32),
             hlen=jnp.zeros((B,), jnp.int32),
@@ -160,6 +194,11 @@ class ContinuousBatcher:
             max_new=jnp.zeros((B,), jnp.int32),
             active=jnp.zeros((B,), bool),
             finished=jnp.zeros((B,), bool))
+        if self.mesh is not None:
+            # every leaf is slot-major: shard the whole pool over "data"
+            from tsue_tpu.parallel.mesh import batch_sharding
+            state = jax.device_put(state, batch_sharding(self.mesh))
+        return state
 
     def _admit_impl(self, variables, state: PoolState, slots, vision,
                     prompt_ids, prompt_mask, keys, max_new) -> PoolState:
@@ -391,18 +430,22 @@ class ContinuousBatcher:
                     batch.append((req, key if key is not None
                                   else jax.random.fold_in(base, rid)))
                     slots.append(s)
-                state = self._admit(
-                    self.variables, state, jnp.asarray(slots, jnp.int32),
-                    (jnp.stack([jnp.asarray(r["vision"]) for r, _ in batch])
-                     if self.mllm.use_vision else None),
-                    jnp.stack([jnp.asarray(r["prompt_ids"], jnp.int32)
-                               for r, _ in batch]),
-                    jnp.stack([jnp.asarray(r["prompt_mask"], jnp.int32)
-                               for r, _ in batch]),
-                    jnp.stack([k for _, k in batch]),
-                    jnp.asarray([r.get("max_new", self.max_new_tokens)
-                                 for r, _ in batch], jnp.int32))
-            state = self._decode_chunk(self.variables, state)
+                with self._impl_ctx():
+                    state = self._admit(
+                        self.variables, state,
+                        jnp.asarray(slots, jnp.int32),
+                        (jnp.stack([jnp.asarray(r["vision"])
+                                    for r, _ in batch])
+                         if self.mllm.use_vision else None),
+                        jnp.stack([jnp.asarray(r["prompt_ids"], jnp.int32)
+                                   for r, _ in batch]),
+                        jnp.stack([jnp.asarray(r["prompt_mask"], jnp.int32)
+                                   for r, _ in batch]),
+                        jnp.stack([k for _, k in batch]),
+                        jnp.asarray([r.get("max_new", self.max_new_tokens)
+                                     for r, _ in batch], jnp.int32))
+            with self._impl_ctx():
+                state = self._decode_chunk(self.variables, state)
             harvest = np.asarray(state.active & state.finished)
             if not harvest.any():
                 continue
@@ -413,5 +456,6 @@ class ContinuousBatcher:
                 row = out[s, :steps[s]]
                 eos_pos = np.nonzero(row == self.eos_id)[0]
                 results[rid] = row[:eos_pos[0]] if eos_pos.size else row
-            state = self._release(state, jnp.asarray(harvest))
+            with self._impl_ctx():
+                state = self._release(state, jnp.asarray(harvest))
         return [results[i] for i in range(len(requests))]
