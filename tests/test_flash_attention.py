@@ -302,3 +302,110 @@ def test_partial_edge_row_block(monkeypatch):
     ref = _xla_attention(q, k, v, mask.astype(bool), True, D ** -0.5)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+class TestGSPMDPartitioning:
+    """The kernel registers custom_partitioning rules (ops/flash.py
+    _partitioned_fwd): batch and kv-heads shard freely (the Megatron TP
+    dims), seq/head_dim/groups replicate — multi-chip meshes run the
+    kernel per shard with no collectives inside attention."""
+
+    def _mesh(self, dp, tp):
+        from jax.sharding import Mesh
+        return Mesh(np.asarray(jax.devices()).reshape(dp, tp),
+                    ("data", "model"))
+
+    def test_sharded_bitwise_and_no_allgather(self):
+        import re
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        hq, hkv = 8, 2
+        ks = jax.random.split(jax.random.key(3), 3)
+        q = jax.random.normal(ks[0], (8, 32, hq, D), jnp.float32)
+        k = jax.random.normal(ks[1], (8, 32, hkv, D), jnp.float32)
+        v = jax.random.normal(ks[2], (8, 32, hkv, D), jnp.float32)
+        mask = jnp.ones((8, 32), jnp.int32)
+        ref = flash_attention(q, k, v, mask, is_causal=True,
+                              interpret=True)
+        mesh = self._mesh(4, 2)
+        sh = NamedSharding(mesh, P("data", None, "model", None))
+        f = jax.jit(lambda *a: flash_attention(*a, is_causal=True,
+                                               interpret=True))
+        args = (jax.device_put(q, sh), jax.device_put(k, sh),
+                jax.device_put(v, sh),
+                jax.device_put(mask, NamedSharding(mesh, P("data", None))))
+        out = f(*args)
+        assert out.sharding.spec[0] == "data"
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+        hlo = f.lower(*args).compile().as_text()
+        assert not re.findall(r"all-gather", hlo), \
+            "attention operands were gathered — partitioning rules lost"
+
+    def test_indivisible_head_split_falls_back(self):
+        """model axis (4) not dividing Hkv (2): the sanitizer drops the
+        head sharding (the partitioner reshards) — correct output, just
+        not head-parallel."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        hq, hkv = 4, 2
+        ks = jax.random.split(jax.random.key(4), 3)
+        q = jax.random.normal(ks[0], (8, 16, hq, D), jnp.float32)
+        k = jax.random.normal(ks[1], (8, 16, hkv, D), jnp.float32)
+        v = jax.random.normal(ks[2], (8, 16, hkv, D), jnp.float32)
+        mask = jnp.ones((8, 16), jnp.int32)
+        ref = flash_attention(q, k, v, mask, interpret=True)
+        mesh = self._mesh(2, 4)
+        qsh = NamedSharding(mesh, P("data", None, "model", None))
+        kvsh = NamedSharding(mesh, P("data", None, None, None))
+        out = jax.jit(lambda *a: flash_attention(*a, interpret=True))(
+            jax.device_put(q, qsh), jax.device_put(k, kvsh),
+            jax.device_put(v, kvsh),
+            jax.device_put(mask, NamedSharding(mesh, P("data", None))))
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_sharded_grads_match(self):
+        """vjp through the sharded kernel == unsharded grads (the
+        backward is the XLA formulation, partitioned by GSPMD itself)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        hq, hkv = 8, 2
+        ks = jax.random.split(jax.random.key(5), 3)
+        q = jax.random.normal(ks[0], (8, 16, hq, D), jnp.float32)
+        k = jax.random.normal(ks[1], (8, 16, hkv, D), jnp.float32)
+        v = jax.random.normal(ks[2], (8, 16, hkv, D), jnp.float32)
+        mask = jnp.ones((8, 16), jnp.int32)
+
+        def loss(q_, k_, v_):
+            return flash_attention(q_, k_, v_, mask, is_causal=True,
+                                   interpret=True).sum()
+
+        ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        mesh = self._mesh(4, 2)
+        sh = NamedSharding(mesh, P("data", None, "model", None))
+        got = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(
+            jax.device_put(q, sh), jax.device_put(k, sh),
+            jax.device_put(v, sh))
+        for g, r in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       atol=1e-5, rtol=1e-5)
+
+    def test_rope_sharded_parity(self):
+        """The in-kernel rope variant partitions too (cos/sin replicate
+        over heads, shard over batch)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        hq, hkv, t = 8, 2, 32
+        ks = jax.random.split(jax.random.key(6), 5)
+        q = jax.random.normal(ks[0], (8, t, hq, D), jnp.float32)
+        k = jax.random.normal(ks[1], (8, t, hkv, D), jnp.float32)
+        v = jax.random.normal(ks[2], (8, t, hkv, D), jnp.float32)
+        mask = jnp.ones((8, t), jnp.int32)
+        ang = jax.random.uniform(ks[3], (8, t, D // 2), jnp.float32)
+        rope = (jnp.cos(ang), jnp.sin(ang))
+        ref = flash_attention(q, k, v, mask, is_causal=True, rope=rope,
+                              interpret=True)
+        mesh = self._mesh(4, 2)
+        sh = NamedSharding(mesh, P("data", None, "model", None))
+        bsh = NamedSharding(mesh, P("data"))
+        out = jax.jit(lambda qq, kk, vv, mm, c, s: flash_attention(
+            qq, kk, vv, mm, is_causal=True, rope=(c, s), interpret=True))(
+            jax.device_put(q, sh), jax.device_put(k, sh),
+            jax.device_put(v, sh), jax.device_put(mask, bsh),
+            jax.device_put(rope[0], bsh), jax.device_put(rope[1], bsh))
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

@@ -177,6 +177,23 @@ def test_speculative_tp_agrees(tiny_gen_setup):
     assert (out == ref).mean() >= 0.9
 
 
+def test_pallas_prefill_partitions_in_generate(tiny_gen_setup):
+    """The sharded generator no longer pins XLA attention: forcing the
+    Pallas impl (interpreted on CPU), the flash prefill partitions via
+    its custom_partitioning rules and the TP=2 decode still agrees with
+    the single-device chain."""
+    from tsue_tpu.ops.attention import attention_impl
+    mllm, variables, cfg, vision, ids, mask, ref = tiny_gen_setup
+    mesh = make_mesh(model_parallel=2)
+    with attention_impl("pallas"):
+        gen, _ = make_sharded_generate_fn(mllm, variables, cfg, MAX_NEW,
+                                          ids.shape[1], eos_id=383,
+                                          mesh=mesh)
+        out = np.asarray(gen(vision, ids, mask, jax.random.key(9)))
+    assert out.shape == ref.shape
+    assert (out == ref).mean() >= 0.9
+
+
 def test_quantize_kv_pure_dp_bitwise(tiny_gen_setup):
     """quantize_kv=True under pure DP == the single-device int8-KV
     decode, bitwise (the XLA dequant-fused attention partitions; the

@@ -28,6 +28,13 @@ Kernel-shape policy per the pallas guide: last dim D=64 rides as the
 minor-most dim of (8,128)-tiled fp32 blocks; row blocks sized so the fp32
 logits stay under ~6 MB of VMEM; edge blocks are handled by pallas
 clipping with mask arithmetic on global row indices.
+
+Multi-chip: the forward registers GSPMD partitioning rules
+(``_partitioned_fwd`` below) — batch and kv-heads shard (the Megatron TP
+dims), seq/head_dim/GQA-groups replicate, and each shard runs this very
+kernel on its local slice with zero collectives inside attention.  Mesh
+paths (parallel/, serve) therefore keep the single-chip attention policy
+instead of pinning the XLA formulation.
 """
 from __future__ import annotations
 
@@ -171,6 +178,13 @@ def _flash_fwd_impl(q, k, v, mask, cos, sin, scale: float, is_causal: bool,
     assert Hq % Hkv == 0, (Hq, Hkv)
     G = Hq // Hkv
     BQ = _block_q(Tq, Tk)
+    # inside a shard_map region the out aval must declare its manual
+    # axes (check_vma); outside, vma is empty and this is the plain SDS
+    vma = _vma(q, k, v, mask, cos, sin)
+
+    def _sds(shape, dtype):
+        return (jax.ShapeDtypeStruct(shape, dtype, vma=vma) if vma
+                else jax.ShapeDtypeStruct(shape, dtype))
     cost = pl.CostEstimate(
         flops=4 * B * Hq * Tq * Tk * D,
         bytes_accessed=(2 * B * Hq * Tq * D + 2 * B * Hkv * Tk * D) * 2,
@@ -211,7 +225,7 @@ def _flash_fwd_impl(q, k, v, mask, cos, sin, scale: float, is_causal: bool,
             out_specs=pl.BlockSpec((1, BQ, G * D),
                                    lambda b, h, ir: (b, ir, h),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, Tq, Hq * D), q.dtype),
+            out_shape=_sds((B, Tq, Hq * D), q.dtype),
             cost_estimate=cost,
             interpret=interpret,
         )(*operands)
@@ -243,22 +257,145 @@ def _flash_fwd_impl(q, k, v, mask, cos, sin, scale: float, is_causal: bool,
         ],
         out_specs=pl.BlockSpec((1, BQ, D), lambda bh, ir: (bh, ir, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B * Hq, Tq, D), q.dtype),
+        out_shape=_sds((B * Hq, Tq, D), q.dtype),
         cost_estimate=cost,
         interpret=interpret,
     )(qh, kh, vh, maskh)
     return jnp.moveaxis(out.reshape(B, Hq, Tq, D), 1, 2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
-def _flash(q, k, v, mask, cos, sin, scale, is_causal, interpret):
+@functools.lru_cache(maxsize=None)
+def _partitioned_fwd(scale: float, is_causal: bool, interpret: bool,
+                     has_rope: bool, groups: int):
+    """GSPMD-partitionable wrapper around the forward kernel.
+
+    ``pallas_call`` lowers to a custom call the SPMD partitioner cannot
+    see through — without rules it would all-gather every operand to
+    full shape on every device.  Attention is trivially parallel over
+    batch and (GQA-grouped) heads, exactly the dims Megatron TP shards
+    (parallel/sharding.py splits q/k/v_proj outputs head-major), so this
+    registers the kernel with ``jax.experimental.custom_partitioning``:
+
+    - Shardy rule ``b s (h g) d, b t h d, b t h d, b t[, rope] ->
+      b s (h g) d``: batch ``b`` and kv-head ``h`` shard freely; seq,
+      head_dim and the per-kv-head group factor ``g`` are
+      need_replication (softmax rows and GQA groups must stay whole);
+    - the GSPMD-callback fallback sanitizes the suggested shardings to
+      the same policy (head splits must divide Hkv) and the partitioner
+      reshards operands to match;
+    - the per-shard lowering is this very kernel on local shapes — a
+      head-split shard sees (Hq/n, Hkv/n) with the group count G intact.
+
+    Multi-chip mesh paths (parallel/, serve) therefore run the flash
+    kernel per shard with zero collectives inside attention.  Verified
+    vs the unsharded kernel (bitwise) with an all-gather-free HLO on the
+    8-device CPU mesh in tests/test_flash.py.
+    """
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if has_rope:
+        def impl(q, k, v, mask, cos, sin):
+            return _flash_fwd_impl(q, k, v, mask, cos, sin, scale,
+                                   is_causal, interpret)
+    else:
+        def impl(q, k, v, mask):
+            return _flash_fwd_impl(q, k, v, mask, None, None, scale,
+                                   is_causal, interpret)
+    fn = custom_partitioning(impl)
+
+    def _axis_size(mesh, ax):
+        axes = ax if isinstance(ax, tuple) else (ax,)
+        n = 1
+        for a in axes:
+            n *= mesh.shape[a]
+        return n
+
+    def _sanitize(mesh, q_sharding, hkv):
+        """Batch axes ride q dim0; head axes ride q dim2 when the shard
+        count divides Hkv (GQA groups must stay whole per shard)."""
+        spec = getattr(q_sharding, "spec", None) or P()
+        b = spec[0] if len(spec) > 0 else None
+        h = spec[2] if len(spec) > 2 else None
+        if h is not None and hkv % _axis_size(mesh, h) != 0:
+            h = None
+        return b, h
+
+    def partition(mesh, arg_shapes, result_shape):
+        b, h = _sanitize(mesh, arg_shapes[0].sharding,
+                         arg_shapes[1].shape[2])
+        qkv = NamedSharding(mesh, P(b, None, h, None))
+        m = NamedSharding(mesh, P(b, None))
+        rope_sh = NamedSharding(mesh, P(b, None, None))
+        args = (qkv, qkv, qkv, m) + ((rope_sh, rope_sh) if has_rope
+                                     else ())
+        return mesh, impl, NamedSharding(mesh, P(b, None, h, None)), args
+
+    def infer(mesh, arg_shapes, shape):
+        b, h = _sanitize(mesh, arg_shapes[0].sharding,
+                         arg_shapes[1].shape[2])
+        return NamedSharding(mesh, P(b, None, h, None))
+
+    rope_rule = ", b s e, b s e" if has_rope else ""
+    if groups == 1:
+        # MHA (Hq == Hkv): a plain head factor — SDY rejects size-1
+        # compound factors
+        rule = (f"b s h d, b t h d, b t h d, b t{rope_rule} -> b s h d")
+        nr = ("s", "d", "t") + (("e",) if has_rope else ())
+        kw = {}
+    else:
+        # GQA: q's head dim = (kv-head h) x (group g); h shards with
+        # k/v's head dim, g must stay whole per shard
+        rule = (f"b s (h g) d, b t h d, b t h d, b t{rope_rule} "
+                "-> b s (h g) d")
+        nr = ("s", "g", "d", "t") + (("e",) if has_rope else ())
+        kw = {"g": groups}
+    fn.def_partition(partition, infer_sharding_from_operands=infer,
+                     sharding_rule=rule, need_replication_factors=nr,
+                     **kw)
+    return fn
+
+
+def _vma(*arrays):
+    """Union of the operands' varying-manual-axes (nonempty only inside
+    a ``shard_map`` region; jax>=0.8 tracks it on the aval)."""
+    out = frozenset()
+    for a in arrays:
+        if a is None:
+            continue
+        try:
+            out = out | jax.typeof(a).vma
+        except (AttributeError, TypeError):
+            return frozenset()
+    return out
+
+
+def _fwd_dispatch(q, k, v, mask, cos, sin, scale, is_causal, interpret):
+    """Single device: the raw kernel (the benched single-chip path,
+    byte-identical).  Multi-device runtimes route through the
+    custom_partitioning registration so GSPMD can shard it — EXCEPT
+    inside a ``shard_map`` manual region (nonempty operand vma), where
+    there is no partitioner: the raw kernel runs on the caller's
+    already-local shapes (e.g. the pipeline stage bodies,
+    parallel/pipeline.py)."""
+    if jax.device_count() > 1 and not _vma(q, k, v, mask, cos, sin):
+        fn = _partitioned_fwd(scale, is_causal, interpret,
+                              cos is not None, q.shape[2] // k.shape[2])
+        args = (q, k, v, mask) + ((cos, sin) if cos is not None else ())
+        return fn(*args)
     return _flash_fwd_impl(q, k, v, mask, cos, sin, scale, is_causal,
                            interpret)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _flash(q, k, v, mask, cos, sin, scale, is_causal, interpret):
+    return _fwd_dispatch(q, k, v, mask, cos, sin, scale, is_causal,
+                         interpret)
+
+
 def _flash_fwd(q, k, v, mask, cos, sin, scale, is_causal, interpret):
-    return _flash_fwd_impl(q, k, v, mask, cos, sin, scale, is_causal,
-                           interpret), (q, k, v, mask, cos, sin)
+    return _fwd_dispatch(q, k, v, mask, cos, sin, scale, is_causal,
+                         interpret), (q, k, v, mask, cos, sin)
 
 
 def _flash_bwd(scale, is_causal, interpret, res, g):

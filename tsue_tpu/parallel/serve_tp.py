@@ -12,16 +12,16 @@ contractions, psum for the V-wide LM-head logits) over ICI.  There is
 no hand-written collective and no model change: the production
 generator (eval/generation.py) is traced as-is with sharded operands.
 
-Two deliberate v1 restrictions, both measured/mechanical rather than
-fundamental:
+Attention keeps its single-chip policy: the flash kernel registers
+GSPMD partitioning rules (ops/flash.py ``_partitioned_fwd`` — batch and
+kv-heads shard, the TP dims), so ``TSUE_ATTENTION=auto`` serves the
+Pallas prefill per shard and the XLA Tq=1 decode exactly as on one chip
+(PARITY.md decode profile).  Remaining v1 restrictions, measured or
+mechanical rather than fundamental:
 
-- the attention formulation is pinned to XLA for the whole program
-  (``attention_impl("xla")`` around each call): ``pallas_call`` does not
-  auto-partition under GSPMD, and the decode hot loop (Tq=1) measured
-  faster on XLA anyway (PARITY.md decode profile); only the one-time
-  prefill would ever want the flash kernel back (a shard_map wrapper —
-  future work);
-- ``fused_head`` (Pallas) stays off for the same reason.  Int8
+- ``fused_head`` (its Pallas kernel carries no partition rules) stays
+  off; the XLA int8 dot / int8-KV attention formulations are pinned at
+  trace time for the same reason.  Int8
   *weights* DO compose (``quantize_decode=True``): the quant tables
   shard like their bf16 twins (sharding.py quant rules) and the decode
   traces the dequant-fused XLA dot (``ops.quant.int8_impl("xla")``),
@@ -47,7 +47,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from tsue_tpu.ops.attention import attention_impl
 from tsue_tpu.ops.sampling import SamplingConfig
 from tsue_tpu.parallel.sharding import shard_params
 
@@ -130,10 +129,13 @@ def make_sharded_generate_fn(mllm, variables, cfg: SamplingConfig,
         prompt_ids = jax.device_put(jnp.asarray(prompt_ids), data_sh)
         prompt_mask = jax.device_put(jnp.asarray(prompt_mask), data_sh)
         rng = jax.device_put(rng, repl)
-        # trace-time switches: Pallas kernels cannot partition under
-        # GSPMD; XLA attention (and the XLA int8 dot / int8-KV
-        # dequant-fused attention) are the multi-chip formulations
-        with attention_impl("xla"), int8_impl("xla"), kv_attn_impl("xla"):
+        # trace-time switches: the int8 dot / int8-KV attention Pallas
+        # kernels carry no GSPMD partition rules — their XLA
+        # formulations are the multi-chip ones.  Attention needs no pin:
+        # the flash kernel registers custom_partitioning rules
+        # (ops/flash.py), so the ambient policy (auto = Pallas prefill,
+        # XLA Tq=1 decode) runs per shard exactly as on one chip.
+        with int8_impl("xla"), kv_attn_impl("xla"):
             return gen(svars, vision, prompt_ids, prompt_mask, rng)
 
     return generate, svars

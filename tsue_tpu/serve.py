@@ -192,14 +192,14 @@ class Predictor:
         return jax.device_put(batch, batch_sharding(self.mesh))
 
     def _attn_ctx(self):
-        """Trace-time attention formulation for predict/rollout traces:
-        Pallas kernels cannot partition under GSPMD, so mesh programs
-        pin XLA attention (cf. parallel/serve_tp.py)."""
-        if self.mesh is None:
-            import contextlib
-            return contextlib.nullcontext()
-        from tsue_tpu.ops.attention import attention_impl
-        return attention_impl("xla")
+        """Trace-time context for predict/rollout traces under a mesh —
+        now a no-op: the flash kernel registers GSPMD partition rules
+        (ops/flash.py), so the ambient attention policy runs per shard;
+        predict/rollout use no int8/int8-KV paths, so no other pin is
+        needed.  Kept as a seam should a future Pallas op enter these
+        programs."""
+        import contextlib
+        return contextlib.nullcontext()
 
     def _mllm_module(self):
         from tsue_tpu.models.fusion import MultiModalLLM

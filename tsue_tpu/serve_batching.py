@@ -101,12 +101,12 @@ class ContinuousBatcher:
         the pool state shards over "data" (every PoolState leaf leads
         with the slot axis) and ``variables`` should arrive TP-sharded
         (parallel/sharding.shard_params; serve.Predictor does this).
-        All three jitted programs are plain XLA (scatters, scans,
-        decode forwards), so GSPMD partitions them as-is; traces pin
-        the XLA attention/int8/int8-KV formulations exactly like
-        parallel/serve_tp.py.  ``num_slots`` must divide the data
-        axis.  Pure-DP pools are bitwise the single-chip pool
-        (tests/test_serve_batching.py)."""
+        All three jitted programs partition under GSPMD (scatters,
+        scans, decode forwards — and the flash prefill via its
+        custom_partitioning rules); traces pin the XLA int8/int8-KV
+        formulations exactly like parallel/serve_tp.py.  ``num_slots``
+        must divide the data axis.  Pure-DP pools are bitwise the
+        single-chip pool (tests/test_serve_batching.py)."""
         if window < 1:
             raise ValueError("window must be >= 1")
         self.mesh = mesh
@@ -148,17 +148,17 @@ class ContinuousBatcher:
 
     def _impl_ctx(self):
         """Trace-time formulation pins for mesh pools (no-op single
-        chip): Pallas kernels cannot partition under GSPMD — the XLA
-        attention / int8 dot / int8-KV attention are the multi-chip
-        formulations (cf. parallel/serve_tp.py)."""
+        chip): the int8 dot / int8-KV attention Pallas kernels carry no
+        GSPMD partition rules — their XLA formulations are the
+        multi-chip ones.  Attention needs no pin: the flash kernel
+        registers custom_partitioning rules (ops/flash.py), so the
+        ambient policy runs per shard (cf. parallel/serve_tp.py)."""
         import contextlib
         if self.mesh is None:
             return contextlib.nullcontext()
-        from tsue_tpu.ops.attention import attention_impl
         from tsue_tpu.ops.kv_quant import kv_attn_impl
         from tsue_tpu.ops.quant import int8_impl
         es = contextlib.ExitStack()
-        es.enter_context(attention_impl("xla"))
         es.enter_context(int8_impl("xla"))
         es.enter_context(kv_attn_impl("xla"))
         return es
