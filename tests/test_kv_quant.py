@@ -189,3 +189,42 @@ class TestEndToEnd:
             eos_id=2, window=4, quantize_kv=True)
         sout = np.asarray(spec(variables, vision, ids, mask))
         np.testing.assert_array_equal(out, sout)
+
+
+class TestGSPMDPartitioning:
+    """The opt-in VMEM-dequant kernel registers custom_partitioning rules
+    (ops/kv_quant.py _partitioned_attend_int8): batch shards freely, so
+    an explicit kv_attn_impl("kernel") scope stays legal under a mesh
+    (serve_tp.py drops its trace-time pins, r5)."""
+
+    def test_sharded_kernel_matches_and_no_allgather(self):
+        import re
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from tsue_tpu.ops.kv_quant import kv_attn_impl
+        B, S, Hkv, D, Hq = 8, 24, 8, 64, 16
+        ks = jax.random.split(jax.random.key(31), 3)
+        k = jax.random.normal(ks[0], (B, S, Hkv, D)) * 0.5
+        v = jax.random.normal(ks[1], (B, S, Hkv, D)) * 0.5
+        cache = quantize_cache([(k, v)])[0]
+        q = jax.random.normal(ks[2], (B, 1, Hq, D))
+        mask = jnp.ones((B, S), bool)
+        with kv_attn_impl("kernel"):
+            ref = attend_int8_kv(q, cache, mask, interpret=True)
+            mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("data",))
+            qsh = NamedSharding(mesh, P("data"))
+
+            def shd(x):
+                return jax.device_put(
+                    x, NamedSharding(mesh, P(*("data",) + (None,) *
+                                             (x.ndim - 1))))
+
+            f = jax.jit(lambda q_, c, m: attend_int8_kv(
+                q_, c, m, interpret=True))
+            args = (shd(q), tuple(shd(c) for c in cache), shd(mask))
+            out = f(*args)
+        assert out.sharding.spec[0] == "data"
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+        hlo = f.lower(*args).compile().as_text()
+        assert not re.findall(r"all-gather", hlo), \
+            "int8-KV attention operands were gathered under the mesh"

@@ -154,3 +154,57 @@ class TestQuantCollection:
         assert out.shape == (2, 6)
         assert out.dtype == np.int32
         assert (out >= 0).all() and (out < mllm.llama.vocab_size).all()
+
+
+class TestGSPMDPartitioning:
+    """The int8 VMEM-dequant kernel registers custom_partitioning rules
+    (ops/quant.py _partitioned_int8_matmul): rows (decode batch) and
+    output channels (Megatron column-parallel) shard freely, the
+    contraction replicates — multi-chip serve paths keep the kernel
+    instead of pinning the XLA formulation (serve_tp.py, r5)."""
+
+    def _mesh(self, dp, tp):
+        from jax.sharding import Mesh
+        return Mesh(np.asarray(jax.devices()).reshape(dp, tp),
+                    ("data", "model"))
+
+    def test_sharded_matches_ref_no_allgather(self):
+        import re
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        ks = jax.random.split(jax.random.key(21), 2)
+        x = jax.random.normal(ks[0], (16, 256)).astype(jnp.bfloat16)
+        w8, scale = quantize_weight(
+            jax.random.normal(ks[1], (256, 512)) * 0.1, axis=0)
+        ref = int8_matmul(x, w8, scale, interpret=True)
+        mesh = self._mesh(4, 2)
+        f = jax.jit(lambda a, b, c: int8_matmul(a, b, c, interpret=True))
+        args = (jax.device_put(x, NamedSharding(mesh, P("data", None))),
+                jax.device_put(w8, NamedSharding(mesh, P(None, "model"))),
+                jax.device_put(scale, NamedSharding(mesh, P("model"))))
+        out = f(*args)
+        assert out.sharding.spec == ("data", "model")
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=1e-5, rtol=1e-5)
+        hlo = f.lower(*args).compile().as_text()
+        assert not re.findall(r"all-gather", hlo), \
+            "int8 matmul operands were gathered — partition rules lost"
+
+    def test_untileable_column_split_falls_back(self):
+        """model axis (4) leaving a non-128-multiple per-shard width: the
+        sanitizer replicates n (the partitioner reshards) — correct
+        output, just not column-parallel."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        ks = jax.random.split(jax.random.key(22), 2)
+        x = jax.random.normal(ks[0], (8, 128)).astype(jnp.bfloat16)
+        w8, scale = quantize_weight(
+            jax.random.normal(ks[1], (128, 384)) * 0.1, axis=0)
+        ref = int8_matmul(x, w8, scale, interpret=True)
+        mesh = self._mesh(2, 4)                   # 384/4 = 96, not %128
+        f = jax.jit(lambda a, b, c: int8_matmul(a, b, c, interpret=True))
+        out = f(jax.device_put(x, NamedSharding(mesh, P("data", None))),
+                jax.device_put(w8, NamedSharding(mesh, P(None, "model"))),
+                jax.device_put(scale, NamedSharding(mesh, P("model"))))
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=1e-5, rtol=1e-5)

@@ -15,19 +15,24 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+import contextvars
 import os
 
-_IMPL = os.environ.get("TSUE_ATTENTION", "auto")  # "auto" | "xla" | "pallas"
+# "auto" | "xla" | "pallas".  A ContextVar, not a module global: scoped
+# switches on one thread must never leak into a concurrent trace on
+# another (e.g. the threaded HTTP server in scripts/serve.py) — each
+# thread/context reads its own value, falling back to the env default.
+_IMPL: contextvars.ContextVar = contextvars.ContextVar(
+    "tsue_attention_impl", default=os.environ.get("TSUE_ATTENTION", "auto"))
 
 
 def set_attention_impl(name: str):
-    global _IMPL
     assert name in ("auto", "xla", "pallas")
-    _IMPL = name
+    _IMPL.set(name)
 
 
 def get_attention_impl() -> str:
-    return _IMPL
+    return _IMPL.get()
 
 
 def resolve_attention_impl() -> str:
@@ -36,8 +41,9 @@ def resolve_attention_impl() -> str:
     K-candidate eval and both train regimes on the v5e — see PARITY.md),
     the XLA path on CPU hosts where Pallas would run interpreted (tests
     opt in to interpret mode explicitly when they want kernel parity)."""
-    if _IMPL != "auto":
-        return _IMPL
+    impl = _IMPL.get()
+    if impl != "auto":
+        return impl
     return "xla" if jax.devices()[0].platform == "cpu" else "pallas"
 
 
@@ -50,20 +56,21 @@ class attention_impl:
 
     CAVEAT: the switch is consulted at TRACE time. A function already
     traced/compiled under a different impl keeps its cached executable —
-    build (or re-build) jitted callables inside the scope.
+    build (or re-build) jitted callables inside the scope.  Scopes are
+    per-context (contextvars): entering one on a server thread cannot
+    flip a concurrent trace on another thread.
     """
 
     def __init__(self, name: str):
+        assert name in ("auto", "xla", "pallas")
         self.name = name
 
     def __enter__(self):
-        global _IMPL
-        self.prev = _IMPL
-        set_attention_impl(self.name)
+        self._token = _IMPL.set(self.name)
         return self
 
     def __exit__(self, *exc):
-        set_attention_impl(self.prev)
+        _IMPL.reset(self._token)
         return False
 
 
@@ -105,7 +112,7 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     # row — measured 1927 (XLA) vs 1629 (pallas) tok/s in the full decode
     # loop (scripts/ab_decode_attn.py, interleaved, bs16 Llama-1B).
     # An EXPLICIT "pallas" still takes the kernel (parity tests rely on it).
-    auto_decode_xla = _IMPL == "auto" and Tq == 1
+    auto_decode_xla = _IMPL.get() == "auto" and Tq == 1
     if resolve_attention_impl() == "pallas" and not use_dropout \
             and not auto_decode_xla:
         # GQA-native: the kernel folds per-group query heads into its row

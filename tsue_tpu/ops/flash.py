@@ -371,13 +371,17 @@ def _vma(*arrays):
 
 
 def _fwd_dispatch(q, k, v, mask, cos, sin, scale, is_causal, interpret):
-    """Single device: the raw kernel (the benched single-chip path,
-    byte-identical).  Multi-device runtimes route through the
-    custom_partitioning registration so GSPMD can shard it — EXCEPT
-    inside a ``shard_map`` manual region (nonempty operand vma), where
-    there is no partitioner: the raw kernel runs on the caller's
-    already-local shapes (e.g. the pipeline stage bodies,
-    parallel/pipeline.py)."""
+    """Single-device runtimes (the benched one-chip TPU) take the raw
+    kernel.  ANY multi-device runtime — sharded or not, including plain
+    single-device jits on the 8-device CPU test mesh — routes through the
+    custom_partitioning registration so GSPMD can shard it (the wrapper
+    is a device_count heuristic, not a sharding check: operand shardings
+    are unknown at trace time here; on unsharded programs the partitioner
+    keeps everything replicated and the per-shard lowering is the same
+    kernel on full shapes).  EXCEPT inside a ``shard_map`` manual region
+    (nonempty operand vma), where there is no partitioner: the raw kernel
+    runs on the caller's already-local shapes (e.g. the pipeline stage
+    bodies, parallel/pipeline.py)."""
     if jax.device_count() > 1 and not _vma(q, k, v, mask, cos, sin):
         fn = _partitioned_fwd(scale, is_causal, interpret,
                               cos is not None, q.shape[2] // k.shape[2])

@@ -54,30 +54,33 @@ NEG_INF = -1e30
 # real chip, interleaved, Llama-1B dims): the kernel is 0.58-0.77x the
 # bf16 cache at bs16-128 (its whole-row (S, Hkv*D) VMEM blocks don't
 # pipeline the S stream), while "xla" is 0.99-1.02x with HALF the cache
-# HBM/footprint — so "xla" is the default and the kernel is kept as the
-# parity-tested reference formulation.  Read at TRACE time;
-# kv_attn_impl scopes a choice.
-_KV_IMPL = os.environ.get("TSUE_KV_ATTN", "xla")
+# HBM/footprint — so "xla" is the default and the kernel is a RETIRED
+# EXPERIMENT kept only as the parity-tested reference formulation (see
+# the post-mortem note above attend_int8_kv).  Read at TRACE time; a
+# ContextVar so a scoped choice on one server thread cannot flip a
+# concurrent trace on another (scripts/serve.py HTTP mode).
+import contextvars
+
+_KV_IMPL: contextvars.ContextVar = contextvars.ContextVar(
+    "tsue_kv_attn_impl", default=os.environ.get("TSUE_KV_ATTN", "xla"))
 
 
 class kv_attn_impl:
     """``with kv_attn_impl("xla"): ...`` — scope the int8 decode-attention
     formulation for everything traced inside (mirrors
-    ops/attention.attention_impl)."""
+    ops/attention.attention_impl).  Per-context (contextvars): concurrent
+    traces on other threads are unaffected."""
 
     def __init__(self, name: str):
         assert name in ("kernel", "xla"), name
         self.name = name
 
     def __enter__(self):
-        global _KV_IMPL
-        self.prev = _KV_IMPL
-        _KV_IMPL = self.name
+        self._token = _KV_IMPL.set(self.name)
         return self
 
     def __exit__(self, *exc):
-        global _KV_IMPL
-        _KV_IMPL = self.prev
+        _KV_IMPL.reset(self._token)
         return False
 
 
@@ -208,6 +211,47 @@ def _attend_int8_impl(q, k8, ks, v8, vs, mask3, scale, interpret: bool):
     return out.reshape(B, Tq, Hq, D)
 
 
+@functools.lru_cache(maxsize=None)
+def _partitioned_attend_int8(scale: float, interpret: bool):
+    """GSPMD-partitionable wrapper (ops/flash.py ``_partitioned_fwd``
+    pattern) for the opt-in VMEM-dequant kernel: batch ``b`` shards
+    freely (the kernel's grid is per batch row); seq/head/dim factors
+    are need_replication.  Keeps an explicit ``kv_attn_impl("kernel")``
+    scope legal under a mesh instead of all-gathering or crashing."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def impl(q, k8, ks, v8, vs, mask3):
+        return _attend_int8_impl(q, k8, ks, v8, vs, mask3, scale,
+                                 interpret)
+
+    fn = custom_partitioning(impl)
+
+    def _b(arg_shapes):
+        spec = getattr(arg_shapes[0].sharding, "spec", None) or P()
+        return spec[0] if len(spec) > 0 else None
+
+    def partition(mesh, arg_shapes, result_shape):
+        b = _b(arg_shapes)
+
+        def sh(ndim):
+            return NamedSharding(mesh, P(*((b,) + (None,) * (ndim - 1))))
+
+        args = tuple(sh(s.shape and len(s.shape)) for s in arg_shapes)
+        return mesh, impl, sh(4), args
+
+    def infer(mesh, arg_shapes, shape):
+        b = _b(arg_shapes)
+        return NamedSharding(mesh, P(b, None, None, None))
+
+    fn.def_partition(
+        partition, infer_sharding_from_operands=infer,
+        sharding_rule=("b t x d, b s h d, b s h, b s h d, b s h, b t s "
+                       "-> b t x d"),
+        need_replication_factors=("t", "x", "d", "s", "h"))
+    return fn
+
+
 def _mask3(mask, B, Tq, S):
     """Normalize the decode masks to (B, Tq, S) bool: (B, S) key-validity
     (decode_step) or (B, 1, Tq, S) per-query (decode_window)."""
@@ -245,9 +289,13 @@ def attend_int8_kv(q, layer_cache, mask, scale: Optional[float] = None,
         scale = D ** -0.5
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
-    if _KV_IMPL == "kernel" and Hq % Hkv == 0 \
+    if _KV_IMPL.get() == "kernel" and Hq % Hkv == 0 \
             and ((Hq // Hkv) * D) % 128 == 0 and (Hkv * D) % 128 == 0:
         m3 = _mask3(mask, B, Tq, S)
+        from tsue_tpu.ops.quant import _vma
+        if jax.device_count() > 1 and not _vma(q, k8, ks, v8, vs, m3):
+            fn = _partitioned_attend_int8(float(scale), bool(interpret))
+            return fn(q, k8, ks, v8, vs, m3.astype(jnp.int32))
         return _attend_int8_impl(q, k8, ks, v8, vs, m3, float(scale),
                                  bool(interpret))
     from tsue_tpu.ops.attention import _xla_attention

@@ -44,30 +44,32 @@ _PROJ = {"q_proj", "k_proj", "v_proj", "o_proj",
 
 # "auto" | "xla" | "pallas": which int8-matmul formulation to trace.
 # "auto" (default) = the VMEM-dequant Pallas kernel when shapes tile
-# (the measured single-chip win); "xla" = the dequant-fused XLA dot —
-# required under GSPMD (pallas_call does not auto-partition; the
-# multi-chip serve path traces inside int8_impl("xla")).
-_INT8_IMPL = os.environ.get("TSUE_INT8", "auto")
+# (the measured single-chip win); "xla" = the dequant-fused XLA dot;
+# "pallas" = force the kernel (raises on non-tiling shapes).  A
+# ContextVar so a scoped switch on one server thread cannot flip a
+# concurrent trace on another (scripts/serve.py HTTP mode).
+import contextvars
+
+_INT8_IMPL: contextvars.ContextVar = contextvars.ContextVar(
+    "tsue_int8_impl", default=os.environ.get("TSUE_INT8", "auto"))
 
 
 class int8_impl:
     """Scoped formulation switch, same contract as
     :class:`tsue_tpu.ops.attention.attention_impl`: consulted at TRACE
-    time — build jitted callables inside the scope."""
+    time — build jitted callables inside the scope.  Per-context
+    (contextvars), so concurrent traces on other threads are unaffected."""
 
     def __init__(self, name: str):
         assert name in ("auto", "xla", "pallas")
         self.name = name
 
     def __enter__(self):
-        global _INT8_IMPL
-        self.prev = _INT8_IMPL
-        _INT8_IMPL = self.name
+        self._token = _INT8_IMPL.set(self.name)
         return self
 
     def __exit__(self, *exc):
-        global _INT8_IMPL
-        _INT8_IMPL = self.prev
+        _INT8_IMPL.reset(self._token)
         return False
 
 
@@ -127,13 +129,92 @@ def _int8_matmul_impl(x2, w8, scale, out_dtype, interpret: bool):
     )(x2, w8, scale.reshape(1, N))
 
 
+@functools.lru_cache(maxsize=None)
+def _partitioned_int8_matmul(out_dtype_name: str, interpret: bool):
+    """GSPMD-partitionable wrapper around the int8-matmul kernel (the
+    ops/flash.py ``_partitioned_fwd`` pattern — see its docstring for the
+    rationale: pallas_call is an opaque custom call to the SPMD
+    partitioner).
+
+    Shardy rule ``m k, k n, u n -> m n``: the row dim ``m`` (decode
+    batch) and the output-channel dim ``n`` (Megatron column-parallel —
+    exactly how parallel/sharding.py splits q/k/v/gate/up projections)
+    shard freely; the contraction ``k`` and the scale's unit dim are
+    need_replication.  ``n`` splits are sanitized to keep the per-shard
+    width a 128 multiple (the kernel's tiling precondition).  Per-shard
+    lowering = this very kernel on local shapes, so the multi-chip serve
+    path (parallel/serve_tp.py) keeps the measured single-chip kernel win
+    instead of pinning the XLA formulation."""
+    import jax
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    out_dtype = jnp.dtype(out_dtype_name)
+
+    def impl(x2, w8, scale1n):
+        return _int8_matmul_impl(x2, w8, scale1n.reshape(-1), out_dtype,
+                                 interpret)
+
+    fn = custom_partitioning(impl)
+
+    def _axis_size(mesh, ax):
+        axes = ax if isinstance(ax, tuple) else (ax,)
+        n = 1
+        for a in axes:
+            n *= mesh.shape[a]
+        return n
+
+    def _sanitize(mesh, arg_shapes):
+        xs = getattr(arg_shapes[0].sharding, "spec", None) or P()
+        ws = getattr(arg_shapes[1].sharding, "spec", None) or P()
+        m = xs[0] if len(xs) > 0 else None
+        n = ws[1] if len(ws) > 1 else None
+        N = arg_shapes[1].shape[1]
+        if n is not None and (N // _axis_size(mesh, n)) % 128 != 0:
+            n = None
+        return m, n
+
+    def partition(mesh, arg_shapes, result_shape):
+        m, n = _sanitize(mesh, arg_shapes)
+        args = (NamedSharding(mesh, P(m, None)),
+                NamedSharding(mesh, P(None, n)),
+                NamedSharding(mesh, P(None, n)))
+        return mesh, impl, NamedSharding(mesh, P(m, n)), args
+
+    def infer(mesh, arg_shapes, shape):
+        m, n = _sanitize(mesh, arg_shapes)
+        return NamedSharding(mesh, P(m, n))
+
+    fn.def_partition(partition, infer_sharding_from_operands=infer,
+                     sharding_rule="m k, k n, u n -> m n",
+                     need_replication_factors=("k", "u"))
+    return fn
+
+
+def _vma(*arrays):
+    """Union of the operands' varying-manual-axes (nonempty only inside a
+    ``shard_map`` manual region — ops/flash.py convention)."""
+    out = frozenset()
+    for a in arrays:
+        try:
+            out = out | jax.typeof(a).vma
+        except (AttributeError, TypeError):
+            return frozenset()
+    return out
+
+
 def int8_matmul(x: jnp.ndarray, w8: jnp.ndarray, scale: jnp.ndarray,
                 out_dtype=None, interpret: Optional[bool] = None
                 ) -> jnp.ndarray:
     """``(x @ (w8 * scale))`` with w8 streamed as int8 and dequantized in
     VMEM.  x: (..., K) with few rows (decode); w8: (K, N) int8; scale:
     (N,) f32.  Forward-only (no VJP — decode never differentiates).
-    Falls back to the XLA formulation for non-tiling shapes."""
+    Under "auto", falls back to the XLA formulation for non-tiling
+    shapes; an explicit ``int8_impl("pallas")`` raises on them instead
+    (the option forces the kernel — it is never a silent alias of
+    "auto").  On multi-device runtimes the kernel routes through its
+    ``custom_partitioning`` registration (``_partitioned_int8_matmul``)
+    so GSPMD programs shard it instead of all-gathering."""
     out_dtype = out_dtype or x.dtype
     K = x.shape[-1]
     N = w8.shape[1]
@@ -141,13 +222,25 @@ def int8_matmul(x: jnp.ndarray, w8: jnp.ndarray, scale: jnp.ndarray,
     M = 1
     for d in lead:
         M *= d
-    if _INT8_IMPL == "xla" or K % 128 != 0 or N % 128 != 0 or M > 128:
+    impl = _INT8_IMPL.get()
+    tiles = K % 128 == 0 and N % 128 == 0 and M <= 128
+    if impl == "pallas" and not tiles:
+        raise ValueError(
+            f"int8_impl('pallas') forced the kernel but the shape does "
+            f"not tile: need K%128==0, N%128==0, M<=128 (got M={M}, "
+            f"K={K}, N={N})")
+    if impl == "xla" or not tiles:
         return int8_matmul_ref(x.reshape(M, K), w8, scale,
                                out_dtype).reshape(*lead, N)
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
-    out = _int8_matmul_impl(x.reshape(M, K), w8, scale, out_dtype,
-                            bool(interpret))
+    x2 = x.reshape(M, K)
+    if jax.device_count() > 1 and not _vma(x2, w8, scale):
+        fn = _partitioned_int8_matmul(jnp.dtype(out_dtype).name,
+                                      bool(interpret))
+        out = fn(x2, w8, scale.reshape(1, N))
+    else:
+        out = _int8_matmul_impl(x2, w8, scale, out_dtype, bool(interpret))
     return out.reshape(*lead, N)
 
 
