@@ -130,12 +130,26 @@ def _merge_top(lv, li, sv, si):
 # the fused kernel
 # ---------------------------------------------------------------------------
 
+ROW_GROUP = 8        # predication granularity: one VPU sublane tile
+
+
 def _head_topk_kernel(h_ref, w_ref, m_ref, vals_ref, idx_ref, *,
                       tile_v: int, penalty: float, int8: bool,
                       s_ref=None):
     """One grid step: logits for ``tile_v`` vocab columns + leaderboard
     update.  Weight layouts: bf16 tied embedding rows (tile_v, D) or the
-    int8 ``quant`` head (D, tile_v) with per-column scales."""
+    int8 ``quant`` head (D, tile_v) with per-column scales.
+
+    Leaderboard updates are predicated PER 8-ROW GROUP (r5): the r4
+    kernel's single ``pl.when(any over all B rows)`` collapsed at large
+    batch — at bs128 the probability that ANY of 128 rows needs a merge
+    is ~1 for most blocks, so nearly every 128-block ran the full-batch
+    bitonic network and the kernel measured 0.83-0.85x XLA at bs128
+    (PARITY.md kernels table).  Splitting both the predicate and the
+    network into (8, 128) sublane-tile groups makes the skip rate
+    per-group (an 8-row ``any`` stays rare after the first tiles) and
+    each triggered merge 16x cheaper at bs128 — merge work no longer
+    scales with B."""
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -164,20 +178,26 @@ def _head_topk_kernel(h_ref, w_ref, m_ref, vals_ref, idx_ref, *,
             logits = jnp.where((mask & _SEEN) != 0, pen, logits)
         logits = jnp.where((mask & _BANNED) != 0, NEG_INF, logits)
 
+    B = logits.shape[0]
+    gb = ROW_GROUP if B % ROW_GROUP == 0 else B
     base = t * tile_v
     for s in range(tile_v // LANES):
         bv = logits[:, s * LANES:(s + 1) * LANES]
         bi = (base + s * LANES
               + jax.lax.broadcasted_iota(jnp.int32, bv.shape, 1))
-        # skip blocks that cannot touch the leaderboard (the common case
-        # after the first tiles): strictly-greater only — an equal value
-        # has a LARGER index, which the (desc, idx asc) order rejects
-        @pl.when(jnp.any(jnp.max(bv, axis=1) > vals_ref[:, LANES - 1]))
-        def _():
-            sv, si = _sort_desc(bv, bi)
-            mv, mi = _merge_top(vals_ref[:], idx_ref[:], sv, si)
-            vals_ref[:] = mv
-            idx_ref[:] = mi
+        # skip groups whose block cannot touch their leaderboard (the
+        # common case after the first tiles): strictly-greater only — an
+        # equal value has a LARGER index, which (desc, idx asc) rejects
+        bmax = jnp.max(bv, axis=1)
+        for g in range(0, B, gb):
+            sl = slice(g, g + gb)
+
+            @pl.when(jnp.any(bmax[sl] > vals_ref[sl, LANES - 1]))
+            def _(sl=sl, gv=bv[sl], gi=bi[sl]):
+                sv, si = _sort_desc(gv, gi)
+                mv, mi = _merge_top(vals_ref[sl], idx_ref[sl], sv, si)
+                vals_ref[sl] = mv
+                idx_ref[sl] = mi
 
 
 def _round_tile(v: int, d: int, bytes_per: float, budget: float) -> int:
@@ -322,6 +342,71 @@ def token_state_mask(token_history, history_len, vocab_size: int,
     return mask
 
 
+@functools.lru_cache(maxsize=None)
+def _partitioned_lmhead_topk(int8: bool, use_mask: bool, penalty: float,
+                             interpret: bool):
+    """GSPMD-partitionable wrapper (the ops/flash.py ``_partitioned_fwd``
+    pattern).  The kernel is embarrassingly parallel over the batch dim —
+    each row's exact top-128 needs the row's hidden state and the whole
+    weight — so ``b`` shards freely (the natural mesh-serving layout:
+    parallel/serve_tp.py shards requests over dp) while the model dims
+    (d), vocab (v), the leaderboard width (l) and the scale's unit dim
+    stay replicated.  Per-shard lowering = the raw kernel on the local
+    batch."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if int8:
+        def impl(hidden, w8, scale, *rest):
+            m = rest[0] if use_mask else None
+            return _lmhead_topk_int8(hidden, w8, scale.reshape(-1), m,
+                                     penalty=penalty, interpret=interpret)
+        w_rule = "d v, u v" + (", b v" if use_mask else "")
+    else:
+        def impl(hidden, w, *rest):
+            m = rest[0] if use_mask else None
+            return _lmhead_topk_bf16(hidden, w, m, penalty=penalty,
+                                     interpret=interpret)
+        w_rule = "v d" + (", b v" if use_mask else "")
+
+    fn = custom_partitioning(impl)
+
+    def _b(arg_shapes):
+        spec = getattr(arg_shapes[0].sharding, "spec", None) or P()
+        return spec[0] if len(spec) > 0 else None
+
+    def _arg_shardings(mesh, b):
+        h = NamedSharding(mesh, P(b, None))
+        if int8:
+            args = [h, NamedSharding(mesh, P(None, None)),
+                    NamedSharding(mesh, P(None, None))]
+        else:
+            args = [h, NamedSharding(mesh, P(None, None))]
+        if use_mask:
+            args.append(NamedSharding(mesh, P(b, None)))
+        return tuple(args)
+
+    def partition(mesh, arg_shapes, result_shape):
+        b = _b(arg_shapes)
+        out = NamedSharding(mesh, P(b, None))
+        return mesh, impl, (out, out), _arg_shardings(mesh, b)
+
+    def infer(mesh, arg_shapes, shape):
+        b = _b(arg_shapes)
+        out = NamedSharding(mesh, P(b, None))
+        return (out, out)
+
+    # need_replication must list factors in first-appearance order
+    # (SDY verifier: "indices of special factors must be sorted") — for
+    # the int8 rule the scale's unit factor u appears before l
+    fn.def_partition(
+        partition, infer_sharding_from_operands=infer,
+        sharding_rule=f"b d, {w_rule} -> b l, b l",
+        need_replication_factors=(("d", "v", "u", "l") if int8
+                                  else ("d", "v", "l")))
+    return fn
+
+
 def lmhead_topk(hidden, weight, mask, penalty: float = 1.0,
                 quant=None, interpret=None):
     """Processed-logits exact top-128 straight from the hidden state.
@@ -331,15 +416,32 @@ def lmhead_topk(hidden, weight, mask, penalty: float = 1.0,
     ``mask``: :func:`token_state_mask` output.  Returns (vals (B, 128)
     f32, idx (B, 128) i32) == ``lax.top_k(processed_logits, 128)``
     including tie order.  ``interpret=None`` auto-selects the Pallas
-    interpreter on CPU (ops/quant.py convention).
+    interpreter on CPU (ops/quant.py convention).  Multi-device runtimes
+    route through the ``custom_partitioning`` registration so mesh
+    serving shards the kernel over batch instead of all-gathering.
     """
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
     interpret = bool(interpret)
+    from tsue_tpu.ops.quant import _vma
+    operands = (hidden, weight, mask) if quant is None else \
+        (hidden, quant[0], quant[1], mask)
+    multi = jax.device_count() > 1 and not _vma(
+        *[a for a in operands if a is not None])
     if quant is not None:
         w8, scale = quant
+        if multi:
+            fn = _partitioned_lmhead_topk(True, mask is not None,
+                                          float(penalty), interpret)
+            args = (hidden, w8, scale.reshape(1, -1))
+            return fn(*(args + ((mask,) if mask is not None else ())))
         return _lmhead_topk_int8(hidden, w8, scale, mask,
                                  penalty=penalty, interpret=interpret)
+    if multi:
+        fn = _partitioned_lmhead_topk(False, mask is not None,
+                                      float(penalty), interpret)
+        args = (hidden, weight)
+        return fn(*(args + ((mask,) if mask is not None else ())))
     return _lmhead_topk_bf16(hidden, weight, mask, penalty=penalty,
                              interpret=interpret)
 
