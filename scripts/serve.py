@@ -38,8 +38,8 @@ weight-only decode; --speculative uses prompt-lookup speculative greedy
 decoding (exact greedy output, fewer forwards on templated paragraphs).
 --model-parallel N serves multi-chip: weights TP-sharded over a
 (data, model) mesh, request batches over data (parallel/serve_tp.py;
-composes with --quantize-decode, --quantize-kv, --speculative and
---batcher continuous; excludes --fused-head).
+composes with --quantize-decode, --quantize-kv, --speculative,
+--batcher continuous and --fused-head).
 """
 import json
 
@@ -241,8 +241,8 @@ def main():
                         "(parallel/serve_tp.py); 0 = single-chip.  "
                         "model_parallel must divide the device count; "
                         "composes with --quantize-decode, "
-                        "--quantize-kv, --speculative and --batcher "
-                        "continuous; v1 excludes --fused-head (Pallas)")
+                        "--quantize-kv, --speculative, --batcher "
+                        "continuous and --fused-head")
     p.add_argument("--fsdp", action="store_true",
                    help="with --model-parallel: additionally ZeRO-shard "
                         "big replicated params over the data axis "
@@ -257,14 +257,7 @@ def main():
                    help="start the HTTP API on 127.0.0.1:PORT instead of "
                         "batch mode")
     args = p.parse_args()
-    if args.model_parallel:
-        # fail loudly at startup, not deep in the first request (the
-        # Predictor re-checks fused_head/quantize_kv; speculative and the
-        # continuous batcher would otherwise surface mid-request)
-        if args.fused_head:
-            p.error("--model-parallel excludes --fused-head (Pallas "
-                    "kernel, single-chip-only in v1 — serve_tp.py)")
-    elif args.fsdp:
+    if args.fsdp and not args.model_parallel:
         p.error("--fsdp requires --model-parallel")
 
     from tsue_tpu.config import get_preset

@@ -81,16 +81,30 @@ def test_weight_placement_reused_across_programs(llm_setup):
 
 
 def test_incompatible_modes_fail_loudly(llm_setup):
-    """v1 single-chip-only paths are rejected with ValueError, never
-    silently served unsharded (the CLI mirrors these at startup)."""
+    """Misconfigurations are rejected with ValueError, never silently
+    served unsharded (the CLI mirrors these at startup)."""
     cfg, params, tracks, _ = llm_setup
-    mesh = make_mesh(1)
-    with pytest.raises(ValueError, match="fused_head"):
-        Predictor(cfg, params, batch_size=8, mesh=mesh, fused_head=True)
     with pytest.raises(ValueError, match="divide"):
         Predictor(cfg, params, batch_size=3, mesh=make_mesh(2))
     with pytest.raises(ValueError, match="requires a mesh"):
         Predictor(cfg, params, batch_size=8, fsdp=True)
+
+
+def test_fused_head_composes_with_mesh(llm_setup):
+    """fused_head under a pure-DP mesh serves the single-chip fused
+    predictor's text (r5: the LM-head+top-k kernel shards over batch via
+    its custom_partitioning registration, ops/lmhead_topk.py — no v1
+    rejection anymore)."""
+    cfg, params, tracks, _ = llm_setup
+    ref = Predictor(cfg, params, batch_size=8,
+                    fused_head=True).generate_context(
+        tracks, max_new_tokens=6)
+    p = Predictor(cfg, params, batch_size=8, mesh=make_mesh(1),
+                  fused_head=True)
+    out = p.generate_context(tracks, max_new_tokens=6)
+    assert out == ref
+
+
 def test_batched_generation_composes_with_mesh(llm_setup):
     """generate_context_batched under a pure-DP mesh serves the
     single-chip batcher's text (pool state sharded over data; the

@@ -212,6 +212,64 @@ def test_quantize_kv_pure_dp_bitwise(tiny_gen_setup):
     np.testing.assert_array_equal(out, ref)
 
 
+def test_fused_head_pure_dp_bitwise(tiny_gen_setup):
+    """fused_head=True under pure DP == the single-device fused decode,
+    bitwise (r5: the LM-head+top-k kernel shards over batch via
+    ops/lmhead_topk.py ``_partitioned_lmhead_topk`` — serve_tp no longer
+    rejects it)."""
+    mllm, variables, cfg, vision, ids, mask, _ = tiny_gen_setup
+    from tsue_tpu.eval.generation import make_generate_fn
+    ref_gen = make_generate_fn(mllm, cfg, MAX_NEW, ids.shape[1],
+                               eos_id=383, pad_id=0, fused_head=True)
+    ref = np.asarray(ref_gen(variables, vision, ids, mask,
+                             jax.random.key(9)))
+    mesh = make_mesh(model_parallel=1)
+    gen, _ = make_sharded_generate_fn(mllm, variables, cfg, MAX_NEW,
+                                      ids.shape[1], eos_id=383, mesh=mesh,
+                                      fused_head=True)
+    out = np.asarray(gen(vision, ids, mask, jax.random.key(9)))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_fused_head_sampled_dp_bitwise(tiny_gen_setup):
+    """The sampled fused-head chain (slice-space slot sampler) under
+    pure DP is bitwise too — keys replicate, every row draws as on one
+    chip."""
+    mllm, variables, _, vision, ids, mask, _ = tiny_gen_setup
+    from tsue_tpu.eval.generation import make_generate_fn
+    cfg = SamplingConfig()                     # sampled production chain
+    ref_gen = make_generate_fn(mllm, cfg, MAX_NEW, ids.shape[1],
+                               eos_id=383, pad_id=0, fused_head=True)
+    ref = np.asarray(ref_gen(variables, vision, ids, mask,
+                             jax.random.key(13)))
+    mesh = make_mesh(model_parallel=1)
+    gen, _ = make_sharded_generate_fn(mllm, variables, cfg, MAX_NEW,
+                                      ids.shape[1], eos_id=383, mesh=mesh,
+                                      fused_head=True)
+    out = np.asarray(gen(vision, ids, mask, jax.random.key(13)))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_fused_head_tp_agrees(tiny_gen_setup):
+    """fused_head under TP=2: the kernel's partition rule keeps the head
+    weight whole per shard (the partitioner gathers the feature-sharded
+    embedding at the op boundary), so greedy decode agrees with the
+    single-device fused chain up to psum tie flips."""
+    mllm, variables, cfg, vision, ids, mask, _ = tiny_gen_setup
+    from tsue_tpu.eval.generation import make_generate_fn
+    ref_gen = make_generate_fn(mllm, cfg, MAX_NEW, ids.shape[1],
+                               eos_id=383, pad_id=0, fused_head=True)
+    ref = np.asarray(ref_gen(variables, vision, ids, mask,
+                             jax.random.key(9)))
+    mesh = make_mesh(model_parallel=2)
+    gen, _ = make_sharded_generate_fn(mllm, variables, cfg, MAX_NEW,
+                                      ids.shape[1], eos_id=383, mesh=mesh,
+                                      fused_head=True)
+    out = np.asarray(gen(vision, ids, mask, jax.random.key(9)))
+    assert out.shape == ref.shape
+    assert (out == ref).mean() >= 0.9
+
+
 def test_sampled_dp_bitwise(tiny_gen_setup):
     """The production sampled chain under pure DP is also bitwise (the
     per-step keys are replicated; each row draws identically)."""

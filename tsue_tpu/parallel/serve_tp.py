@@ -19,17 +19,19 @@ Pallas prefill per shard and the XLA Tq=1 decode exactly as on one chip
 (PARITY.md decode profile).  Remaining v1 restrictions, measured or
 mechanical rather than fundamental:
 
-- ``fused_head`` (its Pallas kernel carries no partition rules) stays
-  off; the XLA int8 dot / int8-KV attention formulations are pinned at
-  trace time for the same reason.  Int8
-  *weights* DO compose (``quantize_decode=True``): the quant tables
-  shard like their bf16 twins (sharding.py quant rules) and the decode
-  traces the dequant-fused XLA dot (``ops.quant.int8_impl("xla")``),
-  which GSPMD partitions normally.  The int8 *KV cache* composes too
-  (``quantize_kv=True``): its default formulation is already the XLA
-  dequant-fused attention (``kv_attn_impl("xla")``, pinned here at
-  trace time), so the cache's int8/scale arrays simply shard over
-  "data" with the rest of the decode state.
+Every Pallas kernel on the serve path now carries GSPMD partition
+rules (r5, the ops/flash.py pattern), so nothing is pinned at trace
+time anymore: int8 *weights* (``quantize_decode=True``) shard like
+their bf16 twins (sharding.py quant rules) and the ambient ``auto``
+policy traces the VMEM-dequant kernel through its
+``custom_partitioning`` registration (``ops/quant.py
+_partitioned_int8_matmul`` — output-channel dim shards with TP); the
+int8 *KV cache* (``quantize_kv=True``) defaults to the XLA
+dequant-fused attention (the measured winner, ops/kv_quant.py) whose
+int8/scale arrays shard over "data", and an explicit
+``kv_attn_impl("kernel")`` scope is mesh-legal via
+``_partitioned_attend_int8``; the fused LM-head+top-k kernel
+(``fused_head``) shards over batch via ``_partitioned_lmhead_topk``.
 
 Correctness: pure-DP sharding (model_parallel=1) computes each batch row
 entirely on one device — bitwise the single-device decode.  TP splits
@@ -60,7 +62,8 @@ def make_sharded_generate_fn(mllm, variables, cfg: SamplingConfig,
                              quantize_decode: bool = False,
                              quantize_kv: bool = False,
                              speculative: bool = False,
-                             spec_window: int = 8):
+                             spec_window: int = 8,
+                             fused_head: bool = False):
     """Build a multi-chip generator: ``(vision, prompt_ids, prompt_mask,
     rng) -> (B, max_new_tokens) int32`` with weights TP-sharded over
     ``mesh``'s "model" axis and the batch over "data".
@@ -75,16 +78,18 @@ def make_sharded_generate_fn(mllm, variables, cfg: SamplingConfig,
     ``quantize_decode=True``: int8 weight-only decode under TP — the
     quant collection is built BEFORE placement (scales identical to the
     single-device quantization, then each w8/scale leaf shards like its
-    bf16 kernel twin — sharding.py quant rules) and the program is
-    traced under ``int8_impl("xla")``: the dequant-fused XLA dot, which
-    GSPMD partitions like any matmul (the Pallas VMEM-dequant kernel
-    cannot auto-partition).  Per shard the decode weight stream still
-    halves, the same bandwidth argument as single-chip (ops/quant.py).
+    bf16 kernel twin — sharding.py quant rules).  The ambient ``auto``
+    policy applies per shard exactly as on one chip: the VMEM-dequant
+    Pallas kernel where shapes tile (now GSPMD-partitionable,
+    ``ops/quant.py _partitioned_int8_matmul``), the dequant-fused XLA
+    dot elsewhere.  Per shard the decode weight stream still halves,
+    the same bandwidth argument as single-chip (ops/quant.py).
 
-    ``quantize_kv=True``: int8 KV caches (ops/kv_quant.py) — traced
-    under ``kv_attn_impl("xla")`` (the default dequant-fused
-    formulation), whose int8/scale arrays shard over "data" like the
-    bf16 cache; prefill stays exact, the per-shard cache stream halves.
+    ``quantize_kv=True``: int8 KV caches (ops/kv_quant.py) — the
+    default formulation is the XLA dequant-fused attention (the
+    measured winner), whose int8/scale arrays shard over "data" like
+    the bf16 cache; prefill stays exact, the per-shard cache stream
+    halves.
 
     ``speculative=True``: prompt-lookup speculative decoding
     (eval/speculative.py, ``spec_window`` tokens scored per forward) —
@@ -100,8 +105,7 @@ def make_sharded_generate_fn(mllm, variables, cfg: SamplingConfig,
     """
     from tsue_tpu.eval.generation import make_generate_fn
     from tsue_tpu.eval.speculative import make_speculative_generate_fn
-    from tsue_tpu.ops.kv_quant import kv_attn_impl
-    from tsue_tpu.ops.quant import int8_impl, with_quantized_decode
+    from tsue_tpu.ops.quant import with_quantized_decode
 
     if quantize_decode and "quant" not in variables:
         variables = with_quantized_decode(variables)
@@ -112,10 +116,16 @@ def make_sharded_generate_fn(mllm, variables, cfg: SamplingConfig,
             mllm, cfg, max_new_tokens, prompt_len, eos_id=eos_id,
             pad_id=pad_id, window=spec_window, quantize_kv=quantize_kv)
     else:
+        # fused_head shards over batch via the kernel's own
+        # custom_partitioning registration (ops/lmhead_topk.py) — the
+        # same "data"-axis layout as the rest of the decode state.
+        # (Speculative decoding ignores it, as on one chip: its window
+        # scorer consumes full logits.)
         gen = make_generate_fn(mllm, cfg, max_new_tokens, prompt_len,
                                eos_id=eos_id, pad_id=pad_id,
                                early_exit_chunk=early_exit_chunk,
-                               quantize_kv=quantize_kv)
+                               quantize_kv=quantize_kv,
+                               fused_head=fused_head)
     data_sh = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
 
@@ -129,13 +139,11 @@ def make_sharded_generate_fn(mllm, variables, cfg: SamplingConfig,
         prompt_ids = jax.device_put(jnp.asarray(prompt_ids), data_sh)
         prompt_mask = jax.device_put(jnp.asarray(prompt_mask), data_sh)
         rng = jax.device_put(rng, repl)
-        # trace-time switches: the int8 dot / int8-KV attention Pallas
-        # kernels carry no GSPMD partition rules — their XLA
-        # formulations are the multi-chip ones.  Attention needs no pin:
-        # the flash kernel registers custom_partitioning rules
-        # (ops/flash.py), so the ambient policy (auto = Pallas prefill,
-        # XLA Tq=1 decode) runs per shard exactly as on one chip.
-        with int8_impl("xla"), kv_attn_impl("xla"):
-            return gen(svars, vision, prompt_ids, prompt_mask, rng)
+        # no trace-time pins (r5): every Pallas kernel on this path
+        # carries custom_partitioning rules (flash attention, the int8
+        # VMEM-dequant dot, the int8-KV kernel, the fused head), so the
+        # ambient formulation policy applies per shard exactly as on
+        # one chip.
+        return gen(svars, vision, prompt_ids, prompt_mask, rng)
 
     return generate, svars

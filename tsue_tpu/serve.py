@@ -62,12 +62,12 @@ class Predictor:
         ZeRO-shards big replicated params over "data".  Pure-DP meshes
         (model_parallel=1) are bitwise the single-chip decode; TP
         carries the psum tie caveat (serve_tp.py).  Everything else
-        composes: speculative decoding and ``quantize_kv`` (plain-XLA
-        formulations), the continuous batcher (pool state sharded over
-        "data", serve_batching.py), and ``predict``/the K-candidate
-        rollout (same partition rules, batches over "data").  Only
-        ``fused_head`` (Pallas) stays single-chip in v1 and is rejected
-        loudly rather than silently served unsharded."""
+        composes: speculative decoding and ``quantize_kv``, the
+        continuous batcher (pool state sharded over "data",
+        serve_batching.py), ``predict``/the K-candidate rollout (same
+        partition rules, batches over "data"), and ``fused_head`` (r5:
+        its kernel shards over batch via custom_partitioning,
+        ops/lmhead_topk.py)."""
         self.cfg = cfg
         self.batch_size = batch_size
         self.num_candidates = num_candidates
@@ -79,11 +79,6 @@ class Predictor:
         self._svars = None      # sharded MLLM placement (generation)
         self._pvars = None      # sharded full-tree placement (predict)
         if mesh is not None:
-            if fused_head:
-                raise ValueError(
-                    "mesh serving cannot use fused_head: its Pallas "
-                    "kernel does not auto-partition under GSPMD "
-                    "(parallel/serve_tp.py v1 restriction)")
             n_data = mesh.shape.get("data", 1)
             if batch_size % n_data:
                 raise ValueError(
@@ -264,7 +259,8 @@ class Predictor:
                     pad_id=self.tokenizer.pad_id, fsdp=self.fsdp,
                     quantize_decode=self.quantize_decode,
                     quantize_kv=self.quantize_kv,
-                    speculative=speculative)
+                    speculative=speculative,
+                    fused_head=self.fused_head)
                 # the sharded closure owns its weights; adapt to the
                 # (variables, vision, ids, mask, rng) calling convention
                 # the request loop uses

@@ -102,9 +102,10 @@ class ContinuousBatcher:
         with the slot axis) and ``variables`` should arrive TP-sharded
         (parallel/sharding.shard_params; serve.Predictor does this).
         All three jitted programs partition under GSPMD (scatters,
-        scans, decode forwards — and the flash prefill via its
-        custom_partitioning rules); traces pin the XLA int8/int8-KV
-        formulations exactly like parallel/serve_tp.py.  ``num_slots``
+        scans, decode forwards — and every Pallas kernel on the path
+        via its custom_partitioning rules: flash prefill, the int8
+        VMEM-dequant dot, the int8-KV attention — no trace-time
+        formulation pins, r5, cf. parallel/serve_tp.py).  ``num_slots``
         must divide the data axis.  Pure-DP pools are bitwise the
         single-chip pool (tests/test_serve_batching.py)."""
         if window < 1:
@@ -145,23 +146,6 @@ class ContinuousBatcher:
                                      donate_argnums=1)
         self._admit = jax.jit(self._admit_impl, donate_argnums=1)
         self._release = jax.jit(self._release_impl, donate_argnums=0)
-
-    def _impl_ctx(self):
-        """Trace-time formulation pins for mesh pools (no-op single
-        chip): the int8 dot / int8-KV attention Pallas kernels carry no
-        GSPMD partition rules — their XLA formulations are the
-        multi-chip ones.  Attention needs no pin: the flash kernel
-        registers custom_partitioning rules (ops/flash.py), so the
-        ambient policy runs per shard (cf. parallel/serve_tp.py)."""
-        import contextlib
-        if self.mesh is None:
-            return contextlib.nullcontext()
-        from tsue_tpu.ops.kv_quant import kv_attn_impl
-        from tsue_tpu.ops.quant import int8_impl
-        es = contextlib.ExitStack()
-        es.enter_context(int8_impl("xla"))
-        es.enter_context(kv_attn_impl("xla"))
-        return es
 
     # ---- jitted programs -------------------------------------------------
 
@@ -430,22 +414,20 @@ class ContinuousBatcher:
                     batch.append((req, key if key is not None
                                   else jax.random.fold_in(base, rid)))
                     slots.append(s)
-                with self._impl_ctx():
-                    state = self._admit(
-                        self.variables, state,
-                        jnp.asarray(slots, jnp.int32),
-                        (jnp.stack([jnp.asarray(r["vision"])
-                                    for r, _ in batch])
-                         if self.mllm.use_vision else None),
-                        jnp.stack([jnp.asarray(r["prompt_ids"], jnp.int32)
-                                   for r, _ in batch]),
-                        jnp.stack([jnp.asarray(r["prompt_mask"], jnp.int32)
-                                   for r, _ in batch]),
-                        jnp.stack([k for _, k in batch]),
-                        jnp.asarray([r.get("max_new", self.max_new_tokens)
-                                     for r, _ in batch], jnp.int32))
-            with self._impl_ctx():
-                state = self._decode_chunk(self.variables, state)
+                state = self._admit(
+                    self.variables, state,
+                    jnp.asarray(slots, jnp.int32),
+                    (jnp.stack([jnp.asarray(r["vision"])
+                                for r, _ in batch])
+                     if self.mllm.use_vision else None),
+                    jnp.stack([jnp.asarray(r["prompt_ids"], jnp.int32)
+                               for r, _ in batch]),
+                    jnp.stack([jnp.asarray(r["prompt_mask"], jnp.int32)
+                               for r, _ in batch]),
+                    jnp.stack([k for _, k in batch]),
+                    jnp.asarray([r.get("max_new", self.max_new_tokens)
+                                 for r, _ in batch], jnp.int32))
+            state = self._decode_chunk(self.variables, state)
             harvest = np.asarray(state.active & state.finished)
             if not harvest.any():
                 continue
@@ -456,6 +438,5 @@ class ContinuousBatcher:
                 row = out[s, :steps[s]]
                 eos_pos = np.nonzero(row == self.eos_id)[0]
                 results[rid] = row[:eos_pos[0]] if eos_pos.size else row
-            with self._impl_ctx():
-                state = self._release(state, jnp.asarray(harvest))
+            state = self._release(state, jnp.asarray(harvest))
         return [results[i] for i in range(len(requests))]
