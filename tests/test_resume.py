@@ -101,3 +101,42 @@ def test_subset_save_and_crash_swap_fallback(small_windows, tmp_path):
     s_c, extra_c = restore_train_state(path, state, trainable_filter=filt)
     assert extra_c == {"epoch": 1, "best_val": 0.25}
     assert int(s_c.step) == 2
+
+
+def test_pre_r4_guard_outer_checkpoint_restores(small_windows, tmp_path):
+    """Checkpoints saved BEFORE the r4 NaN-guard relocation (guard
+    wrapped the whole multi_transform; r4 moved it inside the "train"
+    branch for the frozen-dW DCE win) restore through the
+    _legacy_guard_outer shim: orbax structure-matches the old layout,
+    then the moments/guard counters are rewrapped into the current one
+    and training continues exactly where the old run stopped."""
+    from tsue_tpu.train.checkpoint import _legacy_guard_outer
+    batches, state, step = _setup(small_windows)
+    rng = jax.random.key(5)
+    s_a = state
+    for b in batches[:2]:
+        s_a, _ = step(s_a, b, rng)
+
+    legacy_opt = _legacy_guard_outer(s_a.opt_state)
+    assert legacy_opt is not None
+    # the OLD layout: ApplyIfFiniteState at the top, multi_transform inside
+    import optax
+    assert isinstance(legacy_opt, optax.ApplyIfFiniteState)
+    save_train_state(str(tmp_path / "old_ts"),
+                     s_a.replace(opt_state=legacy_opt),
+                     epoch=1, best_val=0.75)
+
+    s_b, extra = restore_train_state(str(tmp_path / "old_ts"), state)
+    assert extra == {"epoch": 1, "best_val": 0.75}
+    # moments and guard counters identical to the pre-save state
+    for a, b in zip(jax.tree.leaves(s_a.opt_state),
+                    jax.tree.leaves(s_b.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resumed run == uninterrupted run
+    s_full = s_a
+    for b in batches[2:]:
+        s_full, _ = step(s_full, b, rng)
+        s_b, _ = step(s_b, b, rng)
+    for a, b in zip(jax.tree.leaves(s_full.params),
+                    jax.tree.leaves(s_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)

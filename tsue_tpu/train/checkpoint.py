@@ -234,13 +234,61 @@ def train_state_path(path: str) -> Optional[str]:
     return None
 
 
+def _legacy_guard_outer(opt_state):
+    """Pre-r4 opt_state layout shim (round-trip pair with
+    ``_modernize_opt_state``).
+
+    r4 moved ``optax.apply_if_finite`` INSIDE the multi_transform "train"
+    branch (train/trainer.py + train/stage1.py — the frozen-dW DCE fix,
+    scripts/ab_frozen_dce.py), which changed the opt_state pytree from
+    ``ApplyIfFiniteState(inner=PartitionState({train, freeze}))`` to
+    ``PartitionState({train: ApplyIfFiniteState(inner), freeze})``.
+    Checkpoints saved before that change restore against the OLD
+    structure; this builds the old-layout template from a new-layout
+    one.  Returns None when the template is not the guarded-multi-
+    transform shape (custom optimizers: no migration path applies)."""
+    import optax
+    inner_states = getattr(opt_state, "inner_states", None)
+    if not isinstance(inner_states, dict) or "train" not in inner_states:
+        return None
+    masked = inner_states["train"]          # multi_transform's MaskedState
+    guard = getattr(masked, "inner_state", None)
+    if not isinstance(guard, optax.ApplyIfFiniteState):
+        return None
+    legacy_part = opt_state._replace(
+        inner_states={**inner_states,
+                      "train": masked._replace(
+                          inner_state=guard.inner_state)})
+    return guard._replace(inner_state=legacy_part)
+
+
+def _modernize_opt_state(legacy, template):
+    """Rewrap a restored pre-r4 (guard-outer) opt_state into the current
+    (guard-inside-train-branch) layout — inverse of
+    ``_legacy_guard_outer``.  Optimizer moments and guard counters are
+    preserved exactly; resume continues where the old run stopped."""
+    part = legacy.inner_state
+    old_masked = part.inner_states["train"]
+    new_guard = template.inner_states["train"].inner_state._replace(
+        notfinite_count=legacy.notfinite_count,
+        last_finite=legacy.last_finite,
+        total_notfinite=legacy.total_notfinite,
+        inner_state=old_masked.inner_state)
+    return part._replace(
+        inner_states={**part.inner_states,
+                      "train": old_masked._replace(
+                          inner_state=new_guard)})
+
+
 def restore_train_state(path: str, state, *, trainable_filter=None):
     """Restore into an existing TrainState template (same tx/apply_fn).
 
     Returns ``(state, extra)`` with ``extra = {"epoch", "best_val"}`` as
     saved by ``save_train_state``.  ``trainable_filter`` must match the
     one used at save time; restored trainable leaves are merged over the
-    template's (deterministically rebuilt) frozen subtree."""
+    template's (deterministically rebuilt) frozen subtree.  Checkpoints
+    written before the r4 NaN-guard relocation restore through the
+    ``_legacy_guard_outer`` shim (moments preserved)."""
     resolved = train_state_path(path)
     if resolved is None:
         raise FileNotFoundError(f"no train state at {path} (or .old)")
@@ -249,7 +297,16 @@ def restore_train_state(path: str, state, *, trainable_filter=None):
               "opt_state": state.opt_state,
               "extra": {"epoch": np.asarray(0),
                         "best_val": np.asarray(float("inf"))}}
-    tree = restore_pytree(resolved, target=target)
+    try:
+        tree = restore_pytree(resolved, target=target)
+    except Exception:
+        legacy_opt = _legacy_guard_outer(state.opt_state)
+        if legacy_opt is None:
+            raise
+        tree = restore_pytree(resolved,
+                              target={**target, "opt_state": legacy_opt})
+        tree["opt_state"] = _modernize_opt_state(tree["opt_state"],
+                                                 state.opt_state)
     if trainable_filter is None:
         params = tree["params"]
     else:
