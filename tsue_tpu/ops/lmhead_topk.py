@@ -130,9 +130,6 @@ def _merge_top(lv, li, sv, si):
 # the fused kernel
 # ---------------------------------------------------------------------------
 
-ROW_GROUP = 8        # predication granularity: one VPU sublane tile
-
-
 def _head_topk_kernel(h_ref, w_ref, m_ref, vals_ref, idx_ref, *,
                       tile_v: int, penalty: float, int8: bool,
                       s_ref=None):
@@ -140,16 +137,21 @@ def _head_topk_kernel(h_ref, w_ref, m_ref, vals_ref, idx_ref, *,
     update.  Weight layouts: bf16 tied embedding rows (tile_v, D) or the
     int8 ``quant`` head (D, tile_v) with per-column scales.
 
-    Leaderboard updates are predicated PER 8-ROW GROUP (r5): the r4
-    kernel's single ``pl.when(any over all B rows)`` collapsed at large
-    batch — at bs128 the probability that ANY of 128 rows needs a merge
-    is ~1 for most blocks, so nearly every 128-block ran the full-batch
-    bitonic network and the kernel measured 0.83-0.85x XLA at bs128
-    (PARITY.md kernels table).  Splitting both the predicate and the
-    network into (8, 128) sublane-tile groups makes the skip rate
-    per-group (an 8-row ``any`` stays rare after the first tiles) and
-    each triggered merge 16x cheaper at bs128 — merge work no longer
-    scales with B."""
+    Leaderboard updates are predicated per 128-block over the WHOLE
+    batch — the r4 formulation, kept after the r5 finer-predication
+    study measured every alternative worse (PARITY.md "Fused-head
+    large-batch floor").  At bs128 ~every block fires this predicate
+    (P[any of 128 rows improves] ~ 1), which is exactly why the kernel
+    loses to XLA's fused head at large batch; but splitting the
+    predicate into (8, 128) sublane-tile groups cannot be expressed
+    profitably: Mosaic aborts on sublane-sliced vector VALUES, unrolled
+    per-group networks explode compile time (16 groups x 8 blocks of
+    bitonic stages), and the working formulation — candidates staged
+    through VMEM scratch + a ``fori_loop`` whose body slices refs at
+    dynamic sublane offsets — serializes 16k scalar branch evaluations
+    per step and measured 0.37-0.46x XLA at bs64-128 (vs this form's
+    0.83-0.92x).  The kernel therefore stays the bs16 latency-point
+    lever (+6%) and the large-batch point stays on XLA's fused head."""
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -178,26 +180,21 @@ def _head_topk_kernel(h_ref, w_ref, m_ref, vals_ref, idx_ref, *,
             logits = jnp.where((mask & _SEEN) != 0, pen, logits)
         logits = jnp.where((mask & _BANNED) != 0, NEG_INF, logits)
 
-    B = logits.shape[0]
-    gb = ROW_GROUP if B % ROW_GROUP == 0 else B
     base = t * tile_v
     for s in range(tile_v // LANES):
         bv = logits[:, s * LANES:(s + 1) * LANES]
         bi = (base + s * LANES
               + jax.lax.broadcasted_iota(jnp.int32, bv.shape, 1))
-        # skip groups whose block cannot touch their leaderboard (the
-        # common case after the first tiles): strictly-greater only — an
-        # equal value has a LARGER index, which (desc, idx asc) rejects
-        bmax = jnp.max(bv, axis=1)
-        for g in range(0, B, gb):
-            sl = slice(g, g + gb)
 
-            @pl.when(jnp.any(bmax[sl] > vals_ref[sl, LANES - 1]))
-            def _(sl=sl, gv=bv[sl], gi=bi[sl]):
-                sv, si = _sort_desc(gv, gi)
-                mv, mi = _merge_top(vals_ref[sl], idx_ref[sl], sv, si)
-                vals_ref[sl] = mv
-                idx_ref[sl] = mi
+        # skip blocks that cannot touch the leaderboard (the common case
+        # after the first tiles): strictly-greater only — an equal value
+        # has a LARGER index, which (desc, idx asc) rejects
+        @pl.when(jnp.any(jnp.max(bv, axis=1) > vals_ref[:, LANES - 1]))
+        def _(bv=bv, bi=bi):
+            sv, si = _sort_desc(bv, bi)
+            mv, mi = _merge_top(vals_ref[:], idx_ref[:], sv, si)
+            vals_ref[:] = mv
+            idx_ref[:] = mi
 
 
 def _round_tile(v: int, d: int, bytes_per: float, budget: float) -> int:
