@@ -23,7 +23,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def run_workload(name: str, out_dir: str):
+def run_workload(name: str, out_dir: str, nan_guard: bool = True):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -70,7 +70,8 @@ def run_workload(name: str, out_dir: str):
             model=dataclasses.replace(
                 cfg.model, llama=dataclasses.replace(
                     cfg.model.llama, remat=True, remat_policy="dots")),
-            train=dataclasses.replace(cfg.train, freeze_regime="joint"))
+            train=dataclasses.replace(cfg.train, freeze_regime="joint",
+                                      nan_guard=nan_guard))
         model = TrajectoryModel(cfg.model, 18, 30)
 
         def apply_fn(vs, b, det, rngs=None, **kw):
@@ -102,6 +103,9 @@ def main():
     p.add_argument("--workload", default="decode",
                    choices=["decode", "forward", "stage1", "joint"])
     p.add_argument("--out", default="/tmp/tsue_profile")
+    p.add_argument("--no-nan-guard", action="store_true",
+                   help="joint workload only: drop apply_if_finite (the "
+                        "no_guard ceiling arm of scripts/ab_guard.py)")
     p.add_argument("--parse", default=None,
                    help="skip tracing; parse this trace dir")
     p.add_argument("--plane", default=None,
@@ -115,7 +119,8 @@ def main():
         jax.config.update("jax_platforms", args.platform)
 
     from tsue_tpu.utils.xplane import find_xplane, op_durations, summarize
-    trace_dir = args.parse or run_workload(args.workload, args.out)
+    trace_dir = args.parse or run_workload(args.workload, args.out,
+                                           nan_guard=not args.no_nan_guard)
     pb = find_xplane(trace_dir)
     log(f"parsing {pb}")
     plane = args.plane

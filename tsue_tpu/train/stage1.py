@@ -48,6 +48,8 @@ def make_stage1_optimizer(cfg: ExperimentConfig, params, label_fn=None):
         # against XLA DCE (measured on the bs8 stage-1 step — see
         # scripts/ab_frozen_dce.py / PARITY.md).  A non-finite loss still
         # reaches the trainable grads, so skip-bad-step is identical.
+        # (Probe reformulations measured a wash — train/guard.py,
+        # PARITY.md "Joint train-step profile".)
         inner = optax.apply_if_finite(inner, max_consecutive_errors=100)
     return optax.multi_transform(
         {"train": inner, "freeze": optax.set_to_zero()}, labels)

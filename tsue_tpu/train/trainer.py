@@ -98,7 +98,11 @@ def make_optimizer(cfg: ExperimentConfig, params) -> optax.GradientTransformatio
         # whole-tree finiteness check would keep every frozen param's dW
         # matmul alive against XLA DCE in the lora_only / full_freeze
         # regimes; a non-finite loss still reaches the trainable grads,
-        # so bad steps are skipped identically
+        # so bad steps are skipped identically.  The guard's total cost
+        # is 3.9% of the joint step and NOT reformulation-addressable:
+        # a max-|x| probe and a clip-norm-shared probe (train/guard.py)
+        # both measured a wash vs this optax guard (PARITY.md "Joint
+        # train-step profile", scripts/ab_guard.py).
         inner = optax.apply_if_finite(inner, max_consecutive_errors=100)
     return optax.multi_transform(
         {"train": inner, "freeze": optax.set_to_zero()}, labels)
