@@ -34,7 +34,9 @@ north-star (>=10x reference) is met.
 Prints ONE JSON line on stdout; diagnostics go to stderr.
 """
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -82,6 +84,56 @@ def _gate(detail: dict, name: str, warm_est_s: float,
 
 def log(*a):
     print(f"[t+{_elapsed():5.0f}s]", *a, file=sys.stderr, flush=True)
+
+
+# The artifact-so-far, updated as sections complete, and the single print
+# path.  A watchdog THREAD (not a signal handler: the remote-tunnel execute
+# blocks in C for minutes, and Python signal handlers can't preempt that)
+# dumps whatever is captured and hard-exits 0 shortly before the driver's
+# 600 s kill.  Measured failure mode this guards: per-program first-execute
+# on the shared tunnel swings 4-8x between sessions (a 45 s warm section ran
+# 514 s on 2026-08-20), so even a gated section can overrun the wall — the
+# artifact must print anyway.
+_STATE: dict = {"fast_tps": None, "detail": None}
+_PRINT_LOCK = threading.Lock()
+_PRINTED = [False]
+WATCHDOG_S = 575.0
+
+
+def _emit() -> None:
+    """Print the ONE JSON artifact line (idempotent, thread-safe)."""
+    with _PRINT_LOCK:
+        if _PRINTED[0]:
+            return
+        _PRINTED[0] = True
+        fast_tps = _STATE["fast_tps"]
+        detail = _STATE["detail"] or {}
+        if fast_tps is None:
+            detail = dict(detail)
+            detail["error"] = ("headline eval did not complete within the "
+                               "driver budget (tunnel stall) — see stderr")
+        print(json.dumps({
+            "metric": "K10_candidate_eval_trajectories_per_sec_per_chip",
+            "value": round(fast_tps, 2) if fast_tps is not None else 0.0,
+            "unit": "traj/s",
+            "vs_baseline": (round(fast_tps / REFERENCE_TRAJ_PER_SEC_ESTIMATE,
+                                  2) if fast_tps is not None else 0.0),
+            "detail": detail,
+        }), flush=True)
+
+
+def _watchdog() -> None:
+    time.sleep(max(0.0, WATCHDOG_S - _elapsed()))
+    if _PRINTED[0]:
+        return
+    log(f"WATCHDOG: {WATCHDOG_S:.0f}s reached with a section still in "
+        f"flight — emitting the artifact-so-far and exiting")
+    if _STATE["detail"] is not None:
+        _STATE["detail"].setdefault("skipped_sections", []).append(
+            "watchdog_cutoff")
+    _emit()
+    sys.stdout.flush()
+    os._exit(0)
 
 
 def _cfg(vocab_size: int, batch_size: int, seq_len: int, out_len: int,
@@ -182,11 +234,19 @@ def bench_mode(model, params, batch, K: int, mode: str, iters: int = 5,
     step = jax.jit(rollout)
     rng = (jax.random.key(0, impl=rng_impl) if rng_impl
            else jax.random.key(0))
+    t0 = time.time()
+    lowered = step.lower(params, batch, rng)
+    t1 = time.time()
+    compiled = lowered.compile()   # disk-cache hit or tunnel compile
+    t2 = time.time()
     # NB: block_until_ready under-reports on the remote-tunnel (axon)
     # platform; a host readback of a result-dependent scalar is the only
     # honest completion barrier, so each iteration sums the output.
-    float(jnp.sum(step(params, batch, rng)))  # warmup + compile
-    best = _timed(lambda i: float(jnp.sum(step(
+    float(jnp.sum(compiled(params, batch, rng)))  # warmup (device load)
+    t3 = time.time()
+    log(f"  {mode}: trace {t1-t0:.0f}s compile {t2-t1:.0f}s "
+        f"warmup {t3-t2:.0f}s")
+    best = _timed(lambda i: float(jnp.sum(compiled(
         params, batch, jax.random.fold_in(rng, i)))), iters)
     B = batch["traj_in"].shape[0]
     return B / best, best
@@ -196,7 +256,8 @@ V5E_HBM_BW = 820e9   # bytes/s, v5e peak HBM bandwidth (public spec ~819 GB/s)
 
 
 def bench_decode(vocab_size: int, batch_sizes=(16,), prompt_len: int = 144,
-                 max_new: int = 64, iters: int = 3, int8: bool = False):
+                 max_new: int = 64, iters: int = 3, int8: bool = False,
+                 warm_deadline_s: float | None = None):
     """Sampled-generation throughput (new tokens/sec) with the full
     soft-prefix prefill + KV-cached scan decode (eval/generation.py) --
     per-step LM-head matmul at the given vocab size.
@@ -283,9 +344,25 @@ def bench_decode(vocab_size: int, batch_sizes=(16,), prompt_len: int = 144,
             vs, vision[:bs], prompt_ids[:bs],
             prompt_mask[:bs], k)).sum())
 
-    combos = [(n, bs) for bs in batch_sizes for n in variants]
-    for name, bs in combos:                      # warmup + compile each
+    # warmup/compile in PRIORITY order (base and int8 carry the roofline
+    # story; int8kv/fast are refinements) with a budget stop: per-program
+    # first-execute on the shared tunnel swings 4-8x between sessions, so
+    # on a slow day the sweep degrades to the leading arms instead of
+    # eating the stage-1/train sections' budget.  The timing windows below
+    # run only over the warmed subset — still fully interleaved, so the
+    # cross-arm comparisons stay same-process honest.
+    combos = [(n, bs) for n in variants for bs in batch_sizes]
+    warmed = []
+    for name, bs in combos:
+        if warm_deadline_s is not None and _elapsed() > warm_deadline_s \
+                and warmed:
+            dropped = [c_ for c_ in combos if c_ not in warmed]
+            log(f"decode sweep: warm deadline {warm_deadline_s:.0f}s hit — "
+                f"dropping arms {dropped}")
+            break
         run(name, bs, key)
+        warmed.append((name, bs))
+    combos = warmed
     best = {c_: float("inf") for c_ in combos}
     # degrade interleaved windows when the driver budget runs hot: two
     # windows still bracket transient tunnel stalls, and a finished
@@ -312,6 +389,8 @@ def bench_decode(vocab_size: int, batch_sizes=(16,), prompt_len: int = 144,
     for name in variants:
         tok_per_sec, hbm_util = {}, {}
         for bs in batch_sizes:
+            if (name, bs) not in best:
+                continue  # dropped at the warm deadline
             # int8kv: cache tokens stream 1 byte + a f32 scale per
             # (token, head) vector (Dh values share one scale)
             kv_elt = (1.0 + 4.0 / c.head_dim) if name in ("int8kv", "fast") \
@@ -322,7 +401,8 @@ def bench_decode(vocab_size: int, batch_sizes=(16,), prompt_len: int = 144,
             tok_per_sec[bs] = bs * steps_per_sec
             hbm_util[bs] = steps_per_sec * (weight_bytes[name] + kv_bytes) \
                 / V5E_HBM_BW
-        out[name] = (tok_per_sec, hbm_util)
+        if tok_per_sec:
+            out[name] = (tok_per_sec, hbm_util)
     return out
 
 
@@ -461,7 +541,7 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev}")
     K = 10
-    detail = {"device": str(dev),
+    detail = _STATE["detail"] = {"device": str(dev),
               "model": "TSUE full (QFormer + Llama-3.2-1B bf16 + LTSF)",
               "config": ("18->18, batch 64 (16 parity), K=10, text cap 512 "
                          "with realistic 160-240-token rows bucketed to 256 "
@@ -493,6 +573,7 @@ def main():
         f"({fast_dt*1000:.0f} ms/b, text bucket "
         f"{bbatch['attention_mask'].shape[1]})")
     detail["fast_mode_traj_per_sec"] = round(fast_tps, 2)
+    _STATE["fast_tps"] = fast_tps  # watchdog can emit from here on
     # coldness, from the one mandatory program: init+bucketed run ~70 s
     # warm vs ~340 s under cold compiles / tunnel stalls (both observed;
     # the shared tunnel can stall for minutes) — scale every later gate
@@ -500,6 +581,19 @@ def main():
     # a killed artifact
     _COLD_FACTOR[0] = max(1.0, _elapsed() / 70.0)
     log(f"cold factor {_COLD_FACTOR[0]:.1f} (headline at {_elapsed():.0f}s)")
+    batch16 = {k: v[:16] for k, v in batch.items()}
+    # parity runs right after the headline: it shares the headline's live
+    # params (no init) and warmed 4-30 s in every r5 trial, and it is the
+    # reference-semantics continuity number.  Still gated: its warmup drew
+    # 80+ s on one cold-terminal day — starting it at t+559 nearly blew
+    # the wall (wall=588 observed); the watchdog would now catch that,
+    # but a skip keeps rc=0 deterministic
+    if _gate(detail, "eval_parity", 45):
+        parity_tps, parity_dt = bench_mode(model, params, batch16, K,
+                                           "parity", iters=2)
+        log(f"real-vocab parity: {parity_tps:.1f} traj/s "
+            f"({parity_dt*1000:.0f} ms/b)")
+        detail["parity_mode_traj_per_sec"] = round(parity_tps, 2)
     # --- sampled-decode throughput: batch sweep + HBM roofline -----------
     # decode streams the full bf16 weight set every step, so larger
     # batches amortize the weight reads; utilization = measured
@@ -510,42 +604,28 @@ def main():
     # Sweep trimmed to the two load-bearing points (latency bs16 /
     # throughput bs128): the r4 4-point sweep blew the driver's 600 s cap
     # (BENCH_r04.json rc=124); intermediate points live in
-    # scripts/ab_fused_head.py runs (PARITY.md kernels table)
+    # scripts/ab_fused_head.py runs (PARITY.md kernels table).  The
+    # warm deadline bounds the sweep's 8 first-executes (~370 s observed
+    # on a mid-weather day) so the stage-1/train sections keep a slot;
+    # arms dropped at the deadline are logged and the keys omitted.
     if _gate(detail, "decode", 110):
         sweep = (16, 128)
         decode = bench_decode(REAL_VOCAB, batch_sizes=sweep, int8=True,
-                              iters=2)
-        real_tok, real_util = decode["base"]
-        i8_tok, i8_util = decode["int8"]
-        kv_tok, kv_util = decode["int8kv"]
-        fast_tok, fast_util = decode["fast"]
-        for bs in sweep:
-            log(f"decode real-vocab bs{bs}: {real_tok[bs]:.0f} tok/s "
-                f"(HBM util {real_util[bs]*100:.0f}%) | int8 "
-                f"{i8_tok[bs]:.0f} tok/s (util {i8_util[bs]*100:.0f}%) | "
-                f"int8+kv8 {kv_tok[bs]:.0f} tok/s "
-                f"(util {kv_util[bs]*100:.0f}%) | +fused head "
-                f"{fast_tok[bs]:.0f} tok/s")
-        detail["decode_tok_per_sec_vocab128256"] = round(real_tok[16], 1)
-        detail["decode_tok_per_sec_vocab128256_by_bs"] = {
-            str(bs): round(real_tok[bs], 1) for bs in sweep}
-        detail["decode_hbm_utilization_by_bs"] = {
-            str(bs): round(real_util[bs], 3) for bs in sweep}
-        detail["decode_tok_per_sec_vocab128256_int8_by_bs"] = {
-            str(bs): round(i8_tok[bs], 1) for bs in sweep}
-        detail["decode_hbm_utilization_int8_by_bs"] = {
-            str(bs): round(i8_util[bs], 3) for bs in sweep}
-        detail["decode_tok_per_sec_vocab128256_int8kv_by_bs"] = {
-            str(bs): round(kv_tok[bs], 1) for bs in sweep}
-        detail["decode_hbm_utilization_int8kv_by_bs"] = {
-            str(bs): round(kv_util[bs], 3) for bs in sweep}
-        detail["decode_tok_per_sec_vocab128256_int8kv_fusedhead_by_bs"] = {
-            str(bs): round(fast_tok[bs], 1) for bs in sweep}
-    batch16 = {k: v[:16] for k, v in batch.items()}
-    parity_tps, parity_dt = bench_mode(model, params, batch16, K, "parity",
-                                       iters=2)
-    log(f"real-vocab parity: {parity_tps:.1f} traj/s ({parity_dt*1000:.0f} ms/b)")
-    detail["parity_mode_traj_per_sec"] = round(parity_tps, 2)
+                              iters=2, warm_deadline_s=330.0)
+        key_of = {"base": "", "int8": "_int8", "int8kv": "_int8kv",
+                  "fast": "_int8kv_fusedhead"}
+        for arm, (tok, util) in decode.items():
+            for bs in tok:
+                log(f"decode real-vocab {arm} bs{bs}: {tok[bs]:.0f} tok/s "
+                    f"(HBM util {util[bs]*100:.0f}%)")
+            detail[f"decode_tok_per_sec_vocab128256{key_of[arm]}_by_bs"] = {
+                str(bs): round(tok[bs], 1) for bs in tok}
+            if arm != "fast":  # fused-head shares int8kv's byte stream
+                detail[f"decode_hbm_utilization{key_of[arm]}_by_bs"] = {
+                    str(bs): round(util[bs], 3) for bs in util}
+        base_tok = decode.get("base", ({},))[0]
+        if 16 in base_tok:
+            detail["decode_tok_per_sec_vocab128256"] = round(base_tok[16], 1)
     # optimized parity: Pallas flash attention (no fp32 logit
     # materialization) + hardware-RNG dropout keys — measured +6% in the
     # interleaved study (PARITY.md "Parity-mode eval profile"); identical
@@ -661,16 +741,11 @@ def main():
         detail["fast_mode_traj_per_sec_vocab384"] = round(bfast_tps, 2)
         detail["parity_mode_traj_per_sec_vocab384"] = round(bparity_tps, 2)
 
-    print(json.dumps({
-        "metric": "K10_candidate_eval_trajectories_per_sec_per_chip",
-        "value": round(fast_tps, 2),
-        "unit": "traj/s",
-        "vs_baseline": round(fast_tps / REFERENCE_TRAJ_PER_SEC_ESTIMATE, 2),
-        "detail": detail,
-    }))
+    _emit()
 
 
 if __name__ == "__main__":
+    threading.Thread(target=_watchdog, daemon=True).start()
     for _attempt in range(2):  # transient tunnel/TPU hiccups: one retry
         try:
             main()
@@ -678,6 +753,7 @@ if __name__ == "__main__":
         except Exception as e:
             log(f"bench attempt failed ({type(e).__name__}: {e})")
             if _attempt:
+                _emit()  # artifact-so-far still prints under a hard failure
                 raise
         # retry OUTSIDE the except block: the live traceback would pin the
         # failed attempt's device buffers and double HBM pressure
